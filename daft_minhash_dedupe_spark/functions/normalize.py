@@ -1,0 +1,60 @@
+"""Text normalization (Spark rebuild of Daft's ``Expression.str.normalize``).
+
+Reference call site: workload/minhash_dedupe.py:196-215; semantics pinned by
+reference tests/test_minhash_dedupe_unit.py:194-214:
+
+- all-flags: ``"Hello, World! cafés  \\t\\n"`` → ``"hello world cafe\\u0301s"``
+  (punct stripped, lowercased, NFD-decomposed keeping combining marks,
+  whitespace runs collapsed to single space, trimmed);
+- idempotent for every flag combination.
+
+Everything except NFD runs JVM-side as Catalyst expressions (whole-stage
+codegen); NFD is the one step Spark has no builtin for, so it is an
+Arrow-batched pandas UDF applied only when ``nfd_unicode=True``. Application
+order (remove_punct → lowercase → NFD → whitespace) is chosen so the
+composition is idempotent: no later step reintroduces anything an earlier
+step removes.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ASCII punctuation (Python string.punctuation), regex-escaped as a class.
+_PUNCT_CLASS = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+
+
+@F.pandas_udf(T.StringType())
+def _nfd_udf(s: pd.Series) -> pd.Series:
+    """Unicode NFD normalization, vectorized over an Arrow batch.
+
+    pd.Series.str-level loop in C where possible; per-element Python is
+    unavoidable for unicodedata but amortized over Arrow batches (this is the
+    sanctioned slow path — there is no Catalyst unicode-normalize builtin).
+    """
+    return s.map(lambda x: unicodedata.normalize("NFD", x) if x is not None else None)
+
+
+def normalize_text(
+    col: Column,
+    remove_punct: bool = True,
+    lowercase: bool = False,
+    nfd_unicode: bool = True,
+    white_space: bool = True,
+) -> Column:
+    """Compose the four normalize steps as a single Column expression."""
+    out = col
+    if remove_punct:
+        out = F.regexp_replace(out, _PUNCT_CLASS, "")
+    if lowercase:
+        out = F.lower(out)
+    if nfd_unicode:
+        out = _nfd_udf(out)
+    if white_space:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

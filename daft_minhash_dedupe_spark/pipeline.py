@@ -1,0 +1,162 @@
+"""MinHashDedupePipeline — the flagship end-to-end pipeline.
+
+Spark-first rebuild of the reference ``MinHashDedupePipeline``
+(workload/minhash_dedupe.py:131-647). Stage DAG (each stage boundary is a
+resumable parquet/Iceberg checkpoint with per-partition metrics):
+
+    input (url, warc_ts, html, text, lang)  [input_hint table]
+      → prep (select natural key + text; deterministic node_id = xxhash64)
+      → normalize (Catalyst + one NFD pandas UDF)
+      → signatures (JVM shingle hashing + numpy permutation kernel)   [ckpt]
+      → bands (posexplode banded slices → 8-byte band_key)            [ckpt]
+      → pairs (salted bucket-min star edges; optional exact-Jaccard
+               verification)                                          [ckpt]
+      → components (hash-to-min CC with star accelerators)            [ckpt]
+      → merge (keep-rule) + cluster assignment write-back
+
+Keep-rule, representative and edge semantics are bit-for-bit the reference's
+(SURVEY §2 "semantics worth pinning" 1-5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from daft_minhash_dedupe_spark.config import DedupeConfig
+from daft_minhash_dedupe_spark.functions.hashing import doc_id_from_url
+from daft_minhash_dedupe_spark.functions.minhash import minhash_signature, shingle_hashes
+from daft_minhash_dedupe_spark.functions.normalize import normalize_text
+from daft_minhash_dedupe_spark.io import StageCheckpointer
+from daft_minhash_dedupe_spark.operators.banding import lsh_band_buckets
+from daft_minhash_dedupe_spark.operators.components import connected_components
+from daft_minhash_dedupe_spark.operators.edges import build_edges_from_buckets
+from daft_minhash_dedupe_spark.operators.merge import cluster_assignments, merge_results
+from daft_minhash_dedupe_spark.operators.verify import verify_pairs_exact_jaccard
+
+
+def prepare_web_pages(
+    df: DataFrame, index_col: str = "block_id", content_col: str = "block_text"
+) -> DataFrame:
+    """Adapt the input_hint web-pages table (url, warc_ts, html, text, lang)
+    to the pipeline's (index_col, content_col) contract.
+
+    Replaces the reference's WARC preprocessing (workload/minhash_dedupe.py:50-76)
+    — extraction already happened upstream (byte-identical text per url), so
+    this is a pure projection plus latest-crawl-per-url selection (window max,
+    a new convenience the reference lacks)."""
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("url").alias(index_col), F.col("text").alias(content_col))
+    )
+
+
+class MinHashDedupePipeline:
+    """End-to-end near-duplicate dedup (reference parity + scale hardening)."""
+
+    def __init__(self, config: DedupeConfig | None = None, **overrides):
+        if config is None:
+            config = DedupeConfig(**overrides)
+        self.cfg = config
+
+    # -- stages ------------------------------------------------------------
+
+    def prep(self, df: DataFrame) -> DataFrame:
+        """Projection + deterministic integer node id (reference :189-194 and
+        :241-246; monotonically_increasing_id regret fixed per
+        FRICTION_LOG.md:88-91)."""
+        c = self.cfg
+        return df.select(
+            c.index_col,
+            c.content_col,
+            doc_id_from_url(F.col(c.index_col)).alias("node_id"),
+        )
+
+    def normalize(self, df: DataFrame) -> DataFrame:
+        c = self.cfg
+        return df.withColumn(
+            "content_normalized",
+            normalize_text(
+                F.col(c.content_col),
+                remove_punct=c.remove_punct,
+                lowercase=c.lowercase,
+                nfd_unicode=c.nfd_unicode,
+                white_space=c.white_space,
+            ),
+        )
+
+    def signatures(self, df: DataFrame) -> DataFrame:
+        """(index, node_id, shingles, min_hashes) — reference :218-239."""
+        c = self.cfg
+        return (
+            df.withColumn("shingles", shingle_hashes(F.col("content_normalized"), c.ngram_size))
+            .withColumn("min_hashes", minhash_signature(F.col("shingles"), c.num_perm, c.seed))
+            .select(c.index_col, "node_id", "shingles", "min_hashes")
+        )
+
+    def bands(self, df: DataFrame) -> DataFrame:
+        return lsh_band_buckets(df, self.cfg.R, self.cfg.B)
+
+    def candidate_edges(self, buckets: DataFrame, signatures: DataFrame) -> DataFrame:
+        c = self.cfg
+        edges = build_edges_from_buckets(buckets, num_salts=c.num_salts)
+        if c.verify_pairs:
+            edges = verify_pairs_exact_jaccard(
+                edges, signatures, c.threshold, node_col="node_id", shingle_col="shingles"
+            )
+        return edges
+
+    # -- orchestration -----------------------------------------------------
+
+    def run(self, df: DataFrame, checkpointer: StageCheckpointer | None = None) -> dict:
+        """Execute all stages; returns dict with results/assignments/id_map.
+
+        ``checkpointer`` enables per-stage resume (north rule); without one,
+        stage boundaries fall back to localCheckpoint (lineage severing only).
+        """
+        c = self.cfg
+        ck = checkpointer or StageCheckpointer(df.sparkSession, root=c.checkpoint_dir)
+
+        prepped = ck.stage("prepped", self.prep(df))
+        id_map = prepped.select(c.index_col, "node_id").distinct()
+
+        sigs = ck.stage("signatures", self.signatures(self.normalize(prepped)))
+        buckets = ck.stage("bands", self.bands(sigs))
+        edges = ck.stage("pairs", self.candidate_edges(buckets, sigs))
+        assignments = ck.stage(
+            "components",
+            connected_components(
+                edges,
+                algorithm=c.algorithm,
+                max_loops=c.max_loops,
+                checkpoint=ck.iter_checkpoint,
+            ),
+        )
+        results = merge_results(
+            prepped.select(c.index_col, c.content_col),
+            assignments,
+            id_map,
+            index_col=c.index_col,
+            component_col=c.component_col,
+        )
+        clusters = cluster_assignments(
+            prepped.select(c.index_col, c.content_col),
+            assignments,
+            id_map,
+            index_col=c.index_col,
+            component_col=c.component_col,
+        )
+        ck.flush_metrics_table()
+        return {
+            "results": results,
+            "assignments": assignments,
+            "id_map": id_map,
+            "clusters": clusters,
+        }
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        """Reference-shaped entry point: input → deduplicated survivors
+        (workload/minhash_dedupe.py:176-185)."""
+        return self.run(df)["results"]

@@ -1,0 +1,45 @@
+"""optimal_param parity with the reference (workload/minhash_dedupe.py:80-117;
+pinned cases from tests/test_minhash_dedupe_unit.py:163-189)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from daft_minhash_dedupe_spark.config import DedupeConfig, optimal_param
+
+
+def test_optimal_param_known_example():
+    assert optimal_param(0.7, 256) == (25, 10)
+
+
+def test_optimal_param_reference_default_config():
+    # the reference default (num_perm=64, threshold=0.7) must give B*R == 64
+    b, r = optimal_param(0.7, 64)
+    assert (b, r) == (8, 8)
+
+
+def test_optimal_param_constraints_small():
+    for threshold in (0.5, 0.7, 0.9):
+        b, r = optimal_param(threshold, 64)
+        assert isinstance(b, int) and isinstance(r, int)
+        assert b >= 1 and r >= 1
+        assert b * r <= 64
+
+
+@given(st.floats(0.1, 0.9), st.integers(16, 256))
+@settings(max_examples=25, deadline=None)
+def test_optimal_param_properties(threshold, num_perm):
+    b, r = optimal_param(threshold, num_perm)
+    assert b * r <= num_perm
+    assert b >= 1 and r >= 1
+
+
+def test_optimal_param_weighting():
+    b1, r1 = optimal_param(0.7, 64, 0.9, 0.1)
+    b2, r2 = optimal_param(0.7, 64, 0.1, 0.9)
+    assert b1 * r1 <= 64 and b2 * r2 <= 64
+
+
+def test_config_computes_bands():
+    cfg = DedupeConfig()
+    assert (cfg.B, cfg.R) == (8, 8)
+    assert cfg.B * cfg.R == cfg.num_perm

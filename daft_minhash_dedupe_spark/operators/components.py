@@ -72,13 +72,14 @@ def large_star(edges: DataFrame) -> DataFrame:
 
 
 def small_star(edges: DataFrame) -> DataFrame:
-    """Within each node's strictly-smaller neighborhood, connect all smaller
-    neighbors to the min (reference :318-358): orient edges big→small via
-    least/greatest (replacing the reference's struct-if_else), m(u) over the
-    smaller neighbors, emit (v, m(u)) for every smaller neighbor v."""
+    """Small-star round (reference :318-358). NOTE: despite the reference's
+    comment ("group by larger"), its struct-if_else canonicalizes each edge to
+    (u=min, v=max) — the group key is the SMALLER endpoint; m = min(nbrs∪{u})
+    = u, and every larger neighbor is emitted attached to it. We mirror the
+    code, not the comment, via least/greatest."""
     directed = (
         edges.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()

@@ -1,0 +1,104 @@
+"""Connected components (reference tests:303-383) + union-find oracle parity."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from daft_minhash_dedupe_spark.operators.components import (
+    connected_components,
+    construct_assignments,
+    global_min_label_propagation,
+    large_star,
+    pairs_equal,
+    small_star,
+    union_find_components,
+)
+from daft_minhash_dedupe_spark.oracle import partition_sets
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(list(pairs) or [], "u long, v long")
+
+
+def _assign(df):
+    return {r["u"]: r["rep"] for r in df.collect()}
+
+
+def test_large_star_invariants(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (4, 5)])
+    out = large_star(e).collect()
+    assert all(r["u"] != r["v"] for r in out)
+    # every emitted target label is ≤ source (min-attachment)
+    assert all(r["v"] < r["u"] for r in out)
+
+
+def test_small_star_invariants(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (4, 5)])
+    out = small_star(e).collect()
+    assert all(r["u"] != r["v"] for r in out)
+
+
+def test_construct_assignments_isolated_self(spark):
+    e = _edges(spark, [(1, 2), (1, 3)])
+    got = _assign(construct_assignments(e))
+    # reference :388-421 is directional: u-side nodes get min(v) as rep,
+    # v-only nodes self-assign (label propagation fixes parity afterwards)
+    assert got == {1: 2, 2: 2, 3: 3}
+
+
+def test_empty_edges_converges(spark):
+    # reference pin (tests:355-360): no edges → no assignments
+    e = _edges(spark, [])
+    assigns = connected_components(e)
+    assert assigns.count() == 0
+
+
+@pytest.mark.parametrize("algorithm", ["alternating", "two_phase"])
+def test_cc_known_graph(spark, algorithm):
+    # reference pin (tests:342-353): components [[1,2,3,4],[5,6],[7 isolated]]
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (5, 6)])
+    got = _assign(connected_components(e, algorithm=algorithm))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+@pytest.mark.parametrize("algorithm", ["alternating", "two_phase"])
+def test_cc_chain_reaches_global_min(spark, algorithm):
+    # long chain is the classic star-contraction stress (local-minima risk)
+    chain = [(i, i + 1) for i in range(1, 30)]
+    got = _assign(connected_components(_edges(spark, chain), algorithm=algorithm))
+    assert all(rep == 1 for rep in got.values())
+    assert set(got) == set(range(1, 31))
+
+
+def test_label_propagation_drives_to_global_min(spark):
+    # reference pin (tests:371-376)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    init = spark.createDataFrame([(1, 1), (2, 2), (3, 3), (4, 4)], "u long, rep long")
+    got = _assign(global_min_label_propagation(e, init))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_pairs_equal(spark):
+    a = spark.createDataFrame([(1, 1), (2, 1)], "u long, rep long")
+    b = spark.createDataFrame([(2, 1), (1, 1)], "u long, rep long")
+    c = spark.createDataFrame([(1, 1)], "u long, rep long")
+    assert pairs_equal(a, b)
+    assert not pairs_equal(a, c)
+
+
+@pytest.mark.parametrize("algorithm", ["alternating", "two_phase"])
+def test_cc_random_graphs_match_union_find_oracle(spark, algorithm):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 80))
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        got = _assign(connected_components(_edges(spark, edges), algorithm=algorithm))
+        want = union_find_components(edges)
+        assert partition_sets(got) == partition_sets(want), f"trial {trial}"
+        # representative is the global min of each component
+        assert all(got[rep] == rep for rep in got.values())

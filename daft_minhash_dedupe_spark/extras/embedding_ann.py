@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_similarity``: pure-Catalyst zip_with/aggregate dot product —
+  codegen'd, no Python;
+- ``brute_force_topk``: exact top-k vs one query vector (broadcast scalar
+  literals, single scan + top-k sort);
+- ``knn_join_brute``: exact k-NN for a small query set via crossJoin
+  (broadcast) — the correctness baseline;
+- ``random_hyperplane_lsh`` + ``ann_topk_lsh``: the scale path — sign-of-
+  projection LSH buckets (Charikar) so candidate generation is a bucket
+  equi-join instead of a full cross product; embedding-cosine near-dup
+  detection reuses the dedup engine's bucket-min star edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (JVM, codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector: one scan, local top-k per
+    partition then global merge (Spark's sort+limit does exactly this —
+    TakeOrderedAndProject, no full sort materialization)."""
+    emb = F.col(vec_col).cast("array<double>")
+    q = _vec_lit(query)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_similarity(emb, q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_brute(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact k-NN join for a SMALL query set: broadcast queries × corpus scan,
+    per-query top-k via window rank. (q_id, vec_id, cosine, rank)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col(id_col))
+        .select(
+            "q_id",
+            id_col,
+            F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def random_hyperplane_bucket(
+    vec: Column, planes: np.ndarray
+) -> Column:
+    """Sign-of-projection LSH bucket id (int): bit j = sign(vec · plane_j).
+
+    Built as a Catalyst expression tree (n_planes dot products per row, all
+    codegen'd) — no Python in the scoring path."""
+    emb = vec.cast("array<double>")
+    bucket = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        d = dot(emb, _vec_lit(list(plane)))
+        bucket = bucket + F.when(d > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: scan only rows whose LSH bucket matches the query's
+    (partition-prunable if the table is written bucketed by lsh_bucket)."""
+    dim = len(query)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    qbits = int(
+        sum((1 << j) for j, p in enumerate(planes) if float(np.dot(p, query)) > 0)
+    )
+    bucketed = df.withColumn("_bucket", random_hyperplane_bucket(F.col(vec_col), planes))
+    return brute_force_topk(
+        bucketed.where(F.col("_bucket") == qbits), query, k, vec_col, id_col
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidate pairs: bucket-min star edges
+    within each hyperplane-LSH bucket, verified by exact cosine ≥ min_cosine
+    (mirrors the MinHash→exact-Jaccard verify design)."""
+    from daft_minhash_dedupe_spark.operators.edges import build_edges_from_buckets
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    buckets = df.select(
+        random_hyperplane_bucket(F.col(vec_col), planes).alias("band_key"),
+        F.col(id_col).alias("node"),
+    )
+    edges = build_edges_from_buckets(buckets)
+    ea = df.select(F.col(id_col).alias("u"), F.col(vec_col).cast("array<double>").alias("_ea"))
+    eb = df.select(F.col(id_col).alias("v"), F.col(vec_col).cast("array<double>").alias("_eb"))
+    return (
+        edges.join(ea, "u")
+        .join(eb, "v")
+        .where(cosine_similarity(F.col("_ea"), F.col("_eb")) >= min_cosine)
+        .select("u", "v")
+    )

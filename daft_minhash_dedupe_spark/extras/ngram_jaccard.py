@@ -1,0 +1,66 @@
+"""Exact n-gram Jaccard set-similarity self-join (no LSH approximation).
+
+The classic inverted-index approach (Vernica/Carey/Li SIGMOD'10 shape):
+explode distinct shingles → self-join on shingle → count common shingles per
+pair → Jaccard = common / (|A| + |B| - common) ≥ threshold.
+
+Cost is Σ bucket² over shingle postings — exact but quadratic in hot
+shingles, so ``max_posting`` drops ultra-common shingles (stopword shingles
+contribute almost nothing to Jaccard but dominate the join). This is the
+standard prefix-filter-style pruning knob; LSH (MinHash pipeline) remains
+the scale path, this operator is the exact verifier / small-corpus tool.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from daft_minhash_dedupe_spark.functions.minhash import shingle_hashes
+
+
+def shingle_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram_size: int = 5
+) -> DataFrame:
+    """(shingle, doc) inverted index over distinct shingle hashes."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingle_hashes(F.col(text_col), ngram_size)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_size: int = 5,
+    threshold: float = 0.7,
+    max_posting: int | None = 1000,
+) -> DataFrame:
+    """(u, v, jaccard) for all pairs with exact n-gram Jaccard ≥ threshold."""
+    postings = shingle_postings(df, text_col, id_col, ngram_size)
+    if max_posting is not None:
+        hot = postings.groupBy("shingle").count().where(F.col("count") > max_posting)
+        postings = postings.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = postings.groupBy("doc").agg(F.count("*").alias("n_sh"))
+
+    a = postings.select(F.col("shingle"), F.col("doc").alias("u"))
+    b = postings.select(F.col("shingle"), F.col("doc").alias("v"))
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common"))
+    )
+    su = sizes.select(F.col("doc").alias("u"), F.col("n_sh").alias("_nu"))
+    sv = sizes.select(F.col("doc").alias("v"), F.col("n_sh").alias("_nv"))
+    return (
+        common.join(su, "u")
+        .join(sv, "v")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("_nu") + F.col("_nv") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("u", "v", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,253 @@
+"""Extras: exact dedup, text analysis, simhash, ngram-jaccard, embedding ANN,
+multimodal plumbing, streaming dedup."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from daft_minhash_dedupe_spark.extras.embedding_ann import (
+    brute_force_topk,
+    cosine_similarity,
+    embedding_near_dup_pairs,
+    knn_join_brute,
+)
+from daft_minhash_dedupe_spark.extras.exact_dedupe import (
+    exact_dedupe,
+    exact_dup_assignments,
+    exact_dup_groups,
+)
+from daft_minhash_dedupe_spark.extras.ngram_jaccard import ngram_jaccard_pairs
+from daft_minhash_dedupe_spark.extras.simhash import (
+    hamming_distance,
+    simhash64,
+    simhash_candidates,
+)
+from daft_minhash_dedupe_spark.extras.text_analysis import text_profile
+from daft_minhash_dedupe_spark.functions.minhash import shingle_hashes
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# -- exact dedupe ------------------------------------------------------------
+
+
+def test_exact_dedupe(spark):
+    df = _docs(spark, ["aaa", "bbb", "aaa", "aaa", "ccc"])
+    kept = exact_dedupe(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 4]
+    groups = {r["keep_id"]: r["n_docs"] for r in exact_dup_groups(df).collect()}
+    assert groups == {0: 3, 1: 1, 4: 1}
+    assigns = {r["doc_id"]: r["component"] for r in exact_dup_assignments(df).collect()}
+    assert assigns == {0: 0, 1: 1, 2: 0, 3: 0, 4: 4}
+
+
+# -- text analysis -----------------------------------------------------------
+
+
+def test_text_profile_columns_and_values(spark):
+    df = _docs(spark, ["the quick brown fox jumps over the lazy dog", "", "¡Hola!"])
+    prof = {r["doc_id"]: r for r in text_profile(df).collect()}
+    assert prof[0]["n_tokens"] == 9
+    assert prof[0]["stopword_ratio"] > 0  # 'the' twice
+    assert prof[1]["n_tokens"] == 0 and prof[1]["quality"] == 0.0
+    assert prof[0]["lang_pred"] == "en"
+    assert prof[0]["fingerprint"] is not None
+    assert prof[1]["fingerprint"] is None
+
+
+def test_language_id_heuristic(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat is on the mat and it is happy",
+            "le chat est sur la table et il est pour",
+            "el gato es una cosa que por las noches",
+            "der hund ist ein tier und das ist gut",
+            "这是一个中文句子我们用它来测试",
+        ],
+    )
+    got = [r["lang_pred"] for r in text_profile(df).orderBy("doc_id").collect()]
+    assert got == ["en", "fr", "es", "de", "zh"]
+
+
+# -- simhash -----------------------------------------------------------------
+
+
+def test_simhash_near_dup_low_hamming(spark):
+    base = " ".join(f"tok{i:03d}" for i in range(100))
+    edited = base.replace("tok050", "zzz")
+    other = " ".join(f"other{i}" for i in range(100))
+    df = _docs(spark, [base, edited, other]).withColumn(
+        "sh", shingle_hashes(F.col("text"), 5)
+    ).withColumn("simhash", simhash64(F.col("sh")))
+    rows = {r["doc_id"]: r["simhash"] for r in df.collect()}
+    d01 = bin((rows[0] ^ rows[1]) & ((1 << 64) - 1)).count("1")
+    d02 = bin((rows[0] ^ rows[2]) & ((1 << 64) - 1)).count("1")
+    assert d01 < 10 < d02
+
+    cands = {
+        (r["u"], r["v"])
+        for r in simhash_candidates(
+            df.select(F.col("doc_id").alias("node_id"), "simhash"), max_hamming=10
+        ).collect()
+    }
+    assert cands == {(0, 1)}
+
+
+def test_hamming_distance_expr(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
+    assert df.select(hamming_distance(F.col("a"), F.col("b")).alias("d")).first()["d"] == 2
+
+
+# -- ngram jaccard -----------------------------------------------------------
+
+
+def test_ngram_jaccard_pairs_exact_values(spark):
+    t1 = "a b c d e f g h i j"   # 6 5-gram shingles
+    t2 = "a b c d e f g h i j"   # identical → J=1
+    t3 = "a b c d e f g h i zz"  # differs in last token → 5 common of 7
+    df = _docs(spark, [t1, t2, t3])
+    pairs = {
+        (r["u"], r["v"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert abs(pairs[(0, 2)] - 5 / 7) < 1e-6
+    assert (1, 2) in pairs
+
+
+def test_ngram_jaccard_respects_threshold(spark):
+    df = _docs(spark, ["a b c d e", "v w x y z"])
+    assert ngram_jaccard_pairs(df, threshold=0.1).count() == 0
+
+
+# -- embedding ANN -----------------------------------------------------------
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_similarity_expr(spark):
+    df = _emb_df(spark, [[1.0, 0.0], [0.0, 1.0], [2.0, 0.0]])
+    a = df.where(F.col("vec_id") == 0).select(F.col("embedding").cast("array<double>").alias("e")).first()["e"]
+    out = df.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding").cast("array<double>"), F.array(*[F.lit(x) for x in a])), 6).alias("c"),
+    ).collect()
+    got = {r["vec_id"]: r["c"] for r in out}
+    assert got[0] == 1.0 and got[1] == 0.0 and got[2] == 1.0
+
+
+def test_brute_force_topk_ordering(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(50, 8)
+    df = _emb_df(spark, vecs)
+    query = list(vecs[7])
+    top = brute_force_topk(df, query, k=5).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["cosine"] == 1.0
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+    # numpy oracle agrees on the top-5 set
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = set(np.argsort(-(norm @ norm[7]))[:5].tolist())
+    assert {r["vec_id"] for r in top} == want
+
+
+def test_knn_join_brute(spark):
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(30, 4)
+    df = _emb_df(spark, vecs)
+    queries = df.where(F.col("vec_id") < 3)
+    out = knn_join_brute(queries, df, k=3).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r["q_id"] != r["vec_id"]
+
+
+def test_embedding_near_dup_pairs(spark):
+    base = np.random.RandomState(2).randn(16)
+    near = base + 1e-3
+    far = -base
+    df = _emb_df(spark, [base, near, far])
+    pairs = {(r["u"], r["v"]) for r in embedding_near_dup_pairs(df, min_cosine=0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+# -- multimodal plumbing -----------------------------------------------------
+
+
+def test_multimodal_feature_extraction(spark):
+    from daft_minhash_dedupe_spark.extras.multimodal import (
+        attach_media_metadata,
+        extract_media_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        (1, "image", b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg", 4, 4, None),
+        (2, "image", b"\x89PNG\r\nfakepng", "image/png", 2, 2, None),
+        (3, "video", b"\x00\x01\x02", "video/mp4", None, None, 3500),
+        (4, "image", None, "image/jpeg", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, width int, height int, duration_ms long",
+    )
+    meta = {r["media_id"]: r["sniffed_mime"] for r in attach_media_metadata(df).collect()}
+    assert meta[1] == "image/jpeg" and meta[2] == "image/png"
+
+    feats = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    assert len(feats[1]["feature"]) == 8
+    assert feats[4]["n_bytes"] == 0
+    # deterministic stub: same payload → same features
+    feats2 = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    assert feats[1]["feature"] == feats2[1]["feature"]
+
+    plan = frame_sample_plan(df, every_ms=1000).collect()
+    assert {(r["media_id"], r["frame_ts"]) for r in plan} == {(3, 0), (3, 1000), (3, 2000), (3, 3000)}
+
+    from daft_minhash_dedupe_spark.extras.multimodal import decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"x")
+
+
+# -- streaming ---------------------------------------------------------------
+
+
+def test_streaming_exact_dedupe(spark, tmp_path):
+    from daft_minhash_dedupe_spark.streaming import streaming_exact_dedupe
+
+    src = tmp_path / "stream_src"
+    batch = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00", "same text"),
+            ("u2", "2024-01-01 00:01:00", "same text"),
+            ("u3", "2024-01-01 00:02:00", "other text"),
+        ],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    batch.write.parquet(str(src))
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    deduped = streaming_exact_dedupe(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_out").collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["other text", "same text"]

@@ -1,38 +1,418 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship MinHash dedup on /root/testdata/sf0.001/documents.
+queries()      — one entry per implemented operator family (SURVEY.md §2).
+oracle_sql()   — DuckDB-runnable ANSI SQL equivalents (omitted only for ops
+                 whose kernels are not SQL-expressible: xxhash64 minhash
+                 signatures, LSH bands, SimHash — those get rows-only checks).
+
+Every computed column is aliased identically on both sides (driver compares
+sorted-by-name columns + order-insensitive value hash).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from daft_minhash_dedupe_spark.config import DedupeConfig
+from daft_minhash_dedupe_spark.extras.embedding_ann import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+)
+from daft_minhash_dedupe_spark.extras.exact_dedupe import (
+    exact_dup_assignments,
+    exact_dup_groups,
+    exact_dedupe,
+)
+from daft_minhash_dedupe_spark.extras.ngram_jaccard import ngram_jaccard_pairs
+from daft_minhash_dedupe_spark.extras.simhash import simhash64
+from daft_minhash_dedupe_spark.extras.text_analysis import (
+    distinct_token_ratio,
+    doc_fingerprint,
+    language_id,
+    punct_ratio,
+    whitespace_token_count,
+)
+from daft_minhash_dedupe_spark.functions.minhash import minhash_signature, shingle_hashes
+from daft_minhash_dedupe_spark.functions.normalize import normalize_text
+from daft_minhash_dedupe_spark.operators.banding import lsh_band_buckets
+from daft_minhash_dedupe_spark.operators.components import connected_components
+from daft_minhash_dedupe_spark.operators.edges import build_edges_from_buckets
+from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline
+
+# ---------------------------------------------------------------------------
+
+# regex char class of ASCII punctuation, with ' doubled for SQL embedding
+_PUNCT_SQL = r"[!\"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]"
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, "documents"))
+
+
+def _docs_as_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("block_id"),
+        F.col("text").alias("block_text"),
+    )
+
+
+# -- flagship ----------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full MinHash+LSH+CC dedup of sf0.001 documents (reference
+    config: num_perm=64, ngram=5, threshold=0.7, seed=42 ⇒ B=R=8)."""
+    df = _docs_as_blocks(spark, "/root/testdata/sf0.001")
+    res = MinHashDedupePipeline(DedupeConfig()).run(df)
+    return res["clusters"].select(
+        "block_id", F.col("component").alias("cluster_id")
+    )
+
+
+# -- queries -----------------------------------------------------------------
+
+
+def _q_minhash_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = MinHashDedupePipeline(DedupeConfig()).run(_docs_as_blocks(spark, sf_dir))
+    return res["clusters"].select("block_id", F.col("component").alias("cluster_id"))
+
+
+def _q_minhash_dedupe_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = DedupeConfig(verify_pairs=True)
+    res = MinHashDedupePipeline(cfg).run(_docs_as_blocks(spark, sf_dir))
+    return res["results"].select("block_id")
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        minhash_signature(shingle_hashes(F.col("text"), 5), 64, 42).alias("min_hashes"),
+    )
+
+
+def _q_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _q_minhash_signatures(spark, sf_dir).withColumnRenamed("doc_id", "node_id")
+    return lsh_band_buckets(df, R=8, B=8).select("band_idx", "band_key", "node")
+
+
+def _q_candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_edges_from_buckets(_q_lsh_bands(spark, sf_dir)).select("u", "v")
+
+
+def _q_cc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components through the REAL CC machinery on star edges built
+    from (lang, source) buckets — SQL-checkable because each doc belongs to
+    exactly one bucket, so components == buckets and rep == bucket min."""
+    docs = _docs(spark, sf_dir)
+    buckets = docs.select(
+        F.xxhash64("lang", "source").alias("band_key"),
+        F.col("doc_id").alias("node"),
+    )
+    edges = build_edges_from_buckets(buckets)
+    assigns = connected_components(edges, algorithm="two_phase")
+    return (
+        docs.join(assigns.withColumnRenamed("u", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("rep", "doc_id").alias("component"))
+    )
+
+
+def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_docs(spark, sf_dir)).select("digest", "n_docs", "keep_id")
+
+
+def _q_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedupe(_docs(spark, sf_dir)).select("doc_id", "text")
+
+
+def _q_exact_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_assignments(_docs(spark, sf_dir)).select("doc_id", "component")
+
+
+def _q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        normalize_text(
+            F.col("text"), remove_punct=True, lowercase=True, nfd_unicode=True, white_space=True
+        ).alias("normalized"),
+    )
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        whitespace_token_count(c).alias("n_tokens"),
+        F.length(c).alias("n_chars_computed"),
+    )
+
+
+def _q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(shingle_hashes(F.col("text"), 5)).alias("n_shingles")
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(distinct_token_ratio(c), 4).alias("distinct_ratio"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", language_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint(F.col("text"), 5).alias("fingerprint")
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id", simhash64(shingle_hashes(F.col("text"), 5)).alias("simhash")
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.05, max_posting=None
+    ).select("u", "v", "jaccard")
+
+
+def _q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", F.unix_timestamp("ts").alias("ts_epoch"))
+    )
+
+
+def _q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return brute_force_topk(emb, [float(x) for x in query], k=10).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return embedding_near_dup_pairs(emb, min_cosine=0.9).select("u", "v")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "minhash_dedupe_clusters": _q_minhash_dedupe,
+        "minhash_dedupe_verified_survivors": _q_minhash_dedupe_verified,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_bands": _q_lsh_bands,
+        "candidate_edges": _q_candidate_edges,
+        "cc_lang_source": _q_cc_lang_source,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "exact_dedupe": _q_exact_dedupe,
+        "exact_components": _q_exact_components,
+        "normalize": _q_normalize,
+        "token_stats": _q_token_stats,
+        "shingle_stats": _q_shingle_stats,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "simhash_fingerprints": _q_simhash,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "tpch_pricing_summary": _q_tpch_pricing,
+        "customer_revenue": _q_customer_revenue,
+        "customers_without_orders": _q_customers_without_orders,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "events_agg": _q_events_agg,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+    return {
+        "cc_lang_source": """
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, source) AS component
+            FROM documents
+        """,
+        "exact_dup_groups": """
+            SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "exact_dedupe": """
+            SELECT doc_id, text FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        """,
+        "exact_components": """
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS component
+            FROM documents
+        """,
+        "normalize": f"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '{_PUNCT_SQL}', '', 'g'),
+                        '\\s+', ' ', 'g')) AS normalized
+            FROM documents
+        """,
+        "token_stats": f"""
+            SELECT doc_id, len({toks}) AS n_tokens, length(text) AS n_chars_computed
+            FROM documents
+        """,
+        "shingle_stats": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN 0
+                        WHEN len(toks) < 5 THEN 1
+                        ELSE len(list_distinct(list_transform(range(1, len(toks) - 3),
+                                 i -> array_to_string(toks[i:i+4], ' ')))) END AS n_shingles
+            FROM t
+        """,
+        "text_quality": f"""
+            WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents)
+            SELECT doc_id,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))
+                              / CAST(length(text) AS DOUBLE) END, 4) AS punct_ratio,
+                   round(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END, 4) AS distinct_ratio
+            FROM t
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []
+                          WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                               i -> array_to_string(toks[i:i+4], ' '))) END AS shingles
+              FROM t),
+            p AS (SELECT doc_id AS doc, unnest(shingles) AS shingle FROM sh),
+            sizes AS (SELECT doc, count(*) AS n_sh FROM p GROUP BY doc),
+            common AS (
+              SELECT a.doc AS u, b.doc AS v, count(*) AS common
+              FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2)
+            SELECT u, v, round(common / CAST(su.n_sh + sv.n_sh - common AS DOUBLE), 6) AS jaccard
+            FROM common
+            JOIN sizes su ON su.doc = u
+            JOIN sizes sv ON sv.doc = v
+            WHERE common / CAST(su.n_sh + sv.n_sh - common AS DOUBLE) >= 0.05
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "customer_revenue": """
+            SELECT c_custkey, c_mktsegment,
+                   round(sum(o_totalprice), 2) AS total_revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_mktsegment
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "events_agg": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "embedding_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from daft_minhash_dedupe_spark.session import get_spark
+
+    s = get_spark()
+    out = entry(s)
+    out.show(10, truncate=60)
+    print("rows:", out.count())

@@ -40,7 +40,7 @@ from daft_minhash_dedupe_spark.extras.text_analysis import (
     punct_ratio,
     whitespace_token_count,
 )
-from daft_minhash_dedupe_spark.functions.minhash import minhash_signature, shingle_hashes
+from daft_minhash_dedupe_spark.functions.minhash import add_shingles, minhash_signature
 from daft_minhash_dedupe_spark.functions.normalize import normalize_text
 from daft_minhash_dedupe_spark.operators.banding import lsh_band_buckets
 from daft_minhash_dedupe_spark.operators.components import connected_components
@@ -96,10 +96,9 @@ def _q_minhash_dedupe_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir)
+    df = add_shingles(_docs(spark, sf_dir), "text", 5, "_sh")
     return df.select(
-        "doc_id",
-        minhash_signature(shingle_hashes(F.col("text"), 5), 64, 42).alias("min_hashes"),
+        "doc_id", minhash_signature(F.col("_sh"), 64, 42).alias("min_hashes")
     )
 
 
@@ -160,8 +159,8 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.size(shingle_hashes(F.col("text"), 5)).alias("n_shingles")
+    return add_shingles(_docs(spark, sf_dir), "text", 5, "_sh").select(
+        "doc_id", F.size("_sh").alias("n_shingles")
     )
 
 
@@ -181,16 +180,17 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id", doc_fingerprint(F.col("text"), 5).alias("fingerprint")
+    return add_shingles(_docs(spark, sf_dir), "text", 5, "_sh").select(
+        "doc_id",
+        F.when(F.size("_sh") == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.array_min("_sh"))
+        .alias("fingerprint"),
     )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir)
-    return df.select(
-        "doc_id", simhash64(shingle_hashes(F.col("text"), 5)).alias("simhash")
-    )
+    df = add_shingles(_docs(spark, sf_dir), "text", 5, "_sh")
+    return df.select("doc_id", simhash64(F.col("_sh")).alias("simhash"))
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

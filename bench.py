@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): runs the headline queries on
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` mode additionally runs the flagship dedup at local[N] and
+local[4N] on identical input (the sandbox stand-in for N vs 4N executors)
+and reports throughput at both + scaling efficiency — evidence for the
+north rule's two-cluster-size criterion. Results land in BENCH/BASELINE.md.
+
+The flagship measures end-to-end dedup (normalize → minhash → LSH → CC →
+keep-rule) on the synthetic web corpus + the sf documents table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _fresh_spark(n_cores: int, shuffle_partitions: int | None = None):
+    from daft_minhash_dedupe_spark.session import get_spark
+
+    return get_spark(
+        master=f"local[{n_cores}]",
+        app_name=f"bench_{n_cores}",
+        extra_confs={
+            "spark.sql.shuffle.partitions": str(shuffle_partitions or max(2 * n_cores, 16)),
+        },
+    )
+
+
+def run_flagship(spark, n_docs: int, seed: int = 42) -> tuple[float, int]:
+    """Dedup the deterministic synthetic web corpus; returns (sec, rows_in)."""
+    from pyspark.sql import functions as F
+
+    from daft_minhash_dedupe_spark.config import DedupeConfig
+    from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline, prepare_web_pages
+    from daft_minhash_dedupe_spark.sources.synthetic import generate_web_pages_pandas
+
+    pdf, _ = generate_web_pages_pandas(n_rows=n_docs, seed=seed)
+    df = spark.createDataFrame(
+        pdf[["url", "warc_ts", "text"]].assign(html=None, lang="en"),
+        schema="url string, warc_ts timestamp, text string, html binary, lang string",
+    )
+    df = prepare_web_pages(df).localCheckpoint(eager=True)  # exclude gen time
+    rows_in = df.count()
+    t0 = time.time()
+    res = MinHashDedupePipeline(DedupeConfig()).run(df)
+    res["results"].write.format("noop").mode("overwrite").save()
+    return time.time() - t0, rows_in
+
+
+def run_documents_dedupe(spark, sf_dir: str) -> tuple[float, int]:
+    import __spark_entry__ as e
+
+    df = e._docs_as_blocks(spark, sf_dir).localCheckpoint(eager=True)
+    rows_in = df.count()
+    t0 = time.time()
+    from daft_minhash_dedupe_spark.config import DedupeConfig
+    from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline
+
+    res = MinHashDedupePipeline(DedupeConfig()).run(df)
+    res["clusters"].write.format("noop").mode("overwrite").save()
+    return time.time() - t0, rows_in
+
+
+def timed_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as e
+
+    out: dict[str, float] = {}
+    qs = e.queries()
+    for name, fn in qs.items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true", help="run local[N] vs local[4N] scaling study")
+    ap.add_argument("--docs", type=int, default=int(os.environ.get("BENCH_DOCS", "20000")))
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        report = {"input_docs": args.docs, "runs": {}}
+        lo, hi = max(CPUS // 4, 1), CPUS
+        for n in (lo, hi):
+            spark = _fresh_spark(n)
+            sec, rows = run_flagship(spark, args.docs)
+            report["runs"][f"local[{n}]"] = {
+                "sec": round(sec, 2),
+                "docs_per_sec": round(rows / sec, 1),
+                "rows": rows,
+            }
+            spark.stop()
+        tl = report["runs"][f"local[{lo}]"]["docs_per_sec"]
+        th = report["runs"][f"local[{hi}]"]["docs_per_sec"]
+        report["scaling_efficiency"] = round(th / (tl * (hi / lo)), 3)
+        report["speedup"] = round(th / tl, 2)
+        print(json.dumps(report))
+        return
+
+    spark = _fresh_spark(CPUS)
+    sec, rows = run_documents_dedupe(spark, SF_DIR)
+    queries = {"flagship_documents_dedupe": round(sec, 3)}
+    syn_sec, syn_rows = run_flagship(spark, args.docs)
+    queries["flagship_synthetic_20k"] = round(syn_sec, 3)
+    if not args.skip_queries:
+        queries.update(timed_queries(spark, SF_DIR))
+    total = sum(queries.values())
+    result = {
+        "metric": "dedup_e2e_seconds",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "docs_per_sec_documents": round(rows / sec, 1),
+        "docs_per_sec_synthetic": round(syn_rows / syn_sec, 1),
+        "total_sec": round(total, 3),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

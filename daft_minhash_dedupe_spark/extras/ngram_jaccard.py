@@ -16,16 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from daft_minhash_dedupe_spark.functions.minhash import shingle_hashes
+from daft_minhash_dedupe_spark.functions.minhash import add_shingles
 
 
 def shingle_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram_size: int = 5
 ) -> DataFrame:
     """(shingle, doc) inverted index over distinct shingle hashes."""
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingle_hashes(F.col(text_col), ngram_size)).alias("shingle"),
+    return add_shingles(df, text_col, ngram_size, "_sh").select(
+        F.col(id_col).alias("doc"), F.explode("_sh").alias("shingle")
     )
 
 

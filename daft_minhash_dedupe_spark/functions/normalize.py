@@ -33,11 +33,20 @@ _PUNCT_CLASS = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
 def _nfd_udf(s: pd.Series) -> pd.Series:
     """Unicode NFD normalization, vectorized over an Arrow batch.
 
-    pd.Series.str-level loop in C where possible; per-element Python is
-    unavoidable for unicodedata but amortized over Arrow batches (this is the
-    sanctioned slow path — there is no Catalyst unicode-normalize builtin).
+    Fast path: NFD is the identity on pure-ASCII text, detected vectorized
+    (utf-8 byte length == char length); per-element Python runs only on the
+    non-ASCII minority. There is no Catalyst unicode-normalize builtin, so
+    this one pandas UDF is the entire Python surface of normalization.
     """
-    return s.map(lambda x: unicodedata.normalize("NFD", x) if x is not None else None)
+    notnull = s.notna()
+    if not notnull.any():
+        return s
+    non_ascii = notnull & (s.str.len() != s.str.encode("utf-8").str.len())
+    if not non_ascii.any():
+        return s
+    out = s.copy()
+    out[non_ascii] = s[non_ascii].map(lambda x: unicodedata.normalize("NFD", x))
+    return out
 
 
 def normalize_text(

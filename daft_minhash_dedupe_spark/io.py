@@ -141,9 +141,11 @@ class StageCheckpointer:
         return out
 
     def iter_checkpoint(self, df: DataFrame, name: str) -> DataFrame:
-        """Cheap intra-loop lineage severing (CC iterations): localCheckpoint.
-        Iteration outputs are transient — only stage outputs need resume."""
-        return df.localCheckpoint(eager=True)
+        """Cheap intra-loop lineage severing (CC iterations): lazy
+        localCheckpoint — the convergence-signature job that follows is the
+        materializing action. Iteration outputs are transient — only stage
+        outputs need resume."""
+        return df.localCheckpoint(eager=False)
 
     def flush_metrics_table(self, target: str | None = None) -> None:
         """Persist accumulated metrics as a queryable table (Iceberg when

@@ -30,10 +30,13 @@ Differences from the reference are purely physical, never semantic:
 
 from __future__ import annotations
 
+import logging
 from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 from daft_minhash_dedupe_spark.operators.edges import (
     edge_sets_equal,
@@ -44,7 +47,30 @@ Checkpoint = Callable[[DataFrame, str], DataFrame]
 
 
 def _local_checkpoint(df: DataFrame, _name: str) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+    # lazy: the convergence-signature aggregation that immediately follows is
+    # the action that materializes (and caches) the checkpoint — one job
+    # instead of two per iteration
+    return df.localCheckpoint(eager=False)
+
+
+def _edge_signature(edges: DataFrame) -> tuple:
+    """(row_count, Σ xxhash64(u,v) as exact decimal) in ONE aggregation job —
+    map-side partial agg, no shuffle of the edge set, no join. Used as a fast
+    probabilistic set-equality signal; equality is CONFIRMED with the exact
+    anti-join check before the loop exits (so correctness never rests on the
+    hash)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def _labels_sum(labels: DataFrame):
+    """Σ label as exact decimal, one aggregation job. Min-label propagation is
+    monotone non-increasing, so an unchanged sum ⟺ a fixed point — an EXACT
+    convergence test with no join and no second pass."""
+    return labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).first()["s"]
 
 
 def _neighborhood_min(edges: DataFrame) -> DataFrame:
@@ -110,11 +136,14 @@ def construct_assignments(edges: DataFrame) -> DataFrame:
 
 
 def pairs_equal(a: DataFrame, b: DataFrame) -> bool:
-    """(u, rep) pair-set equality via two distributed anti-join counts
-    (reference :423-427)."""
-    if a.join(b, ["u", "rep"], "left_anti").limit(1).count():
-        return False
-    return b.join(a, ["u", "rep"], "left_anti").limit(1).count() == 0
+    """(u, rep) pair-set equality via distributed anti-joins, both directions
+    unioned into ONE job (reference :423-427 runs two driver round-trips)."""
+    diff = (
+        a.join(b, ["u", "rep"], "left_anti")
+        .unionByName(b.join(a, ["u", "rep"], "left_anti"))
+        .limit(1)
+    )
+    return diff.count() == 0
 
 
 def global_min_label_propagation(
@@ -130,6 +159,7 @@ def global_min_label_propagation(
     labels = checkpoint(
         assignments.select("u", F.col("rep").alias("label")), "lp_labels_0"
     )
+    prev_sum = _labels_sum(labels)
     for i in range(max_iters):
         nbr_min = (
             sym.join(
@@ -145,13 +175,11 @@ def global_min_label_propagation(
             .distinct()
         )
         labels_next = checkpoint(labels_next, f"lp_labels_{i + 1}")
-        if pairs_equal(
-            labels.select("u", F.col("label").alias("rep")),
-            labels_next.select("u", F.col("label").alias("rep")),
-        ):
-            labels = labels_next
-            break
+        next_sum = _labels_sum(labels_next)  # materializes the checkpoint too
         labels = labels_next
+        if next_sum == prev_sum:
+            break
+        prev_sum = next_sum
     return labels.select("u", F.col("label").alias("rep"))
 
 
@@ -168,27 +196,42 @@ def connected_components(
     the invariant every downstream keep-rule depends on.
     """
     b = checkpoint(edges, "cc_edges_0")
+    sig_b = _edge_signature(b)
+
+    def _stable(prev_sig: tuple, prev_df: DataFrame, next_df: DataFrame) -> tuple:
+        """(converged?, next_sig): cheap one-job signature compare; only when
+        the signature matches run the exact anti-join confirmation."""
+        next_sig = _edge_signature(next_df)
+        if next_sig != prev_sig:
+            return False, next_sig
+        return edge_sets_equal(prev_df, next_df), next_sig
+
     if algorithm == "alternating":
         for i in range(max_loops):
             a = large_star(b)
             b_next = checkpoint(small_star(a), f"cc_edges_{i + 1}")
-            converged = edge_sets_equal(b, b_next)
+            converged, sig_b = _stable(sig_b, b, b_next)
+            logger.debug("cc alternating round %d: edges=%s", i, sig_b[0])
             b = b_next
             if converged:
+                logger.info("cc alternating converged after %d rounds", i + 1)
                 break
     elif algorithm == "two_phase":
         for i in range(max_loops):
-            L = b
+            L, sig_l = b, sig_b
             for j in range(max_loops):
                 L_next = checkpoint(large_star(L), f"cc_large_{i}_{j}")
-                converged = edge_sets_equal(L, L_next)
+                converged, sig_l = _stable(sig_l, L, L_next)
+                logger.debug("cc two_phase round %d large-star %d: edges=%s", i, j, sig_l[0])
                 L = L_next
                 if converged:
                     break
             b_next = checkpoint(small_star(L), f"cc_edges_{i + 1}")
-            converged = edge_sets_equal(b, b_next)
+            converged, sig_b = _stable(sig_b, b, b_next)
+            logger.debug("cc two_phase round %d: edges=%s", i, sig_b[0])
             b = b_next
             if converged:
+                logger.info("cc two_phase converged after %d rounds", i + 1)
                 break
     else:
         raise ValueError(f"unknown algorithm: {algorithm!r}")

@@ -75,8 +75,11 @@ def edge_sets_equal(a: DataFrame, b: DataFrame) -> bool:
     two anti-join counts, fully distributed. That is what we ship.
     """
     ca, cb = canonicalize(a), canonicalize(b)
-    left = ca.join(cb, ["u", "v"], "left_anti").limit(1).count()
-    if left:
-        return False
-    right = cb.join(ca, ["u", "v"], "left_anti").limit(1).count()
-    return right == 0
+    diff = (
+        ca.join(cb, ["u", "v"], "left_anti")
+        .unionByName(cb.join(ca, ["u", "v"], "left_anti"))
+        .limit(1)
+    )
+    # single Spark job for both directions (driver-loop latency dominates CC
+    # wall time on converged graphs)
+    return diff.count() == 0

@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 from daft_minhash_dedupe_spark.config import DedupeConfig
 from daft_minhash_dedupe_spark.functions.hashing import doc_id_from_url
-from daft_minhash_dedupe_spark.functions.minhash import minhash_signature, shingle_hashes
+from daft_minhash_dedupe_spark.functions.minhash import (
+    add_shingles,
+    attach_minhash_signatures,
+)
 from daft_minhash_dedupe_spark.functions.normalize import normalize_text
 from daft_minhash_dedupe_spark.io import StageCheckpointer
 from daft_minhash_dedupe_spark.operators.banding import lsh_band_buckets
@@ -88,12 +91,16 @@ class MinHashDedupePipeline:
         )
 
     def signatures(self, df: DataFrame) -> DataFrame:
-        """(index, node_id, shingles, min_hashes) — reference :218-239."""
+        """(index, node_id, shingles, min_hashes) — reference :218-239.
+
+        Shingle hashing is pure Catalyst; the permutation kernel is the
+        zero-copy mapInArrow operator (see functions/minhash.py)."""
         c = self.cfg
-        return (
-            df.withColumn("shingles", shingle_hashes(F.col("content_normalized"), c.ngram_size))
-            .withColumn("min_hashes", minhash_signature(F.col("shingles"), c.num_perm, c.seed))
-            .select(c.index_col, "node_id", "shingles", "min_hashes")
+        shingled = add_shingles(df, "content_normalized", c.ngram_size, "shingles").select(
+            c.index_col, "node_id", "shingles"
+        )
+        return attach_minhash_signatures(
+            shingled, "shingles", c.num_perm, c.seed, "min_hashes"
         )
 
     def bands(self, df: DataFrame) -> DataFrame:
@@ -122,7 +129,15 @@ class MinHashDedupePipeline:
         prepped = ck.stage("prepped", self.prep(df))
         id_map = prepped.select(c.index_col, "node_id").distinct()
 
-        sigs = ck.stage("signatures", self.signatures(self.normalize(prepped)))
+        # normalize is its own stage boundary: chaining the NFD pandas UDF and
+        # the minhash Arrow kernel inside ONE stage measured ~6× slower (two
+        # ArrowEvalPython nodes pipelined back-to-back); the reference makes
+        # the same call eagerly (FRICTION_LOG.md:32)
+        norm = ck.stage(
+            "normalized",
+            self.normalize(prepped).select(c.index_col, "node_id", "content_normalized"),
+        )
+        sigs = ck.stage("signatures", self.signatures(norm))
         buckets = ck.stage("bands", self.bands(sigs))
         edges = ck.stage("pairs", self.candidate_edges(buckets, sigs))
         assignments = ck.stage(

@@ -130,10 +130,14 @@ def attach_minhash_signatures(
     seed: int = 42,
     out_col: str = "min_hashes",
 ):
-    """Zero-copy Arrow-batch minhash: ``mapInArrow`` reads each batch's
-    ListArray as (flat values, offsets) numpy views directly — no
-    Arrow→pandas object conversion (which dominates the pandas-UDF variant's
-    runtime — measured ~5× at 20k docs). Appends ``out_col`` to the schema.
+    """mapInArrow variant of the kernel: reads each batch's ListArray as
+    (flat values, offsets) numpy views.
+
+    EXPERIMENTAL — measured SLOWER than the pandas-UDF path in this runtime
+    (mapInArrow serializes every passthrough column through Python; the
+    pandas-UDF ArrowEvalPython node ships only the shingle column and keeps
+    the rest JVM-side). Kept for environments where the UDF path regresses;
+    the pipeline uses ``minhash_signature``.
     """
     import pyarrow as pa
 

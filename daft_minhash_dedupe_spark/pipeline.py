@@ -25,10 +25,7 @@ from pyspark.sql import functions as F
 
 from daft_minhash_dedupe_spark.config import DedupeConfig
 from daft_minhash_dedupe_spark.functions.hashing import doc_id_from_url
-from daft_minhash_dedupe_spark.functions.minhash import (
-    add_shingles,
-    attach_minhash_signatures,
-)
+from daft_minhash_dedupe_spark.functions.minhash import add_shingles, minhash_signature
 from daft_minhash_dedupe_spark.functions.normalize import normalize_text
 from daft_minhash_dedupe_spark.io import StageCheckpointer
 from daft_minhash_dedupe_spark.operators.banding import lsh_band_buckets
@@ -96,12 +93,19 @@ class MinHashDedupePipeline:
         Shingle hashing is pure Catalyst; the permutation kernel is the
         zero-copy mapInArrow operator (see functions/minhash.py)."""
         c = self.cfg
-        shingled = add_shingles(df, "content_normalized", c.ngram_size, "shingles").select(
-            c.index_col, "node_id", "shingles"
+        out = (
+            add_shingles(df, "content_normalized", c.ngram_size, "shingles")
+            .select(c.index_col, "node_id", "shingles")
+            .withColumn(
+                "min_hashes", minhash_signature(F.col("shingles"), c.num_perm, c.seed)
+            )
         )
-        return attach_minhash_signatures(
-            shingled, "shingles", c.num_perm, c.seed, "min_hashes"
-        )
+        # the shingle arrays (~ngram_size × tokens × 8B/row) are only needed
+        # downstream by exact-Jaccard verification — don't checkpoint them
+        # otherwise (column pruning at the stage boundary)
+        if not c.verify_pairs:
+            out = out.drop("shingles")
+        return out
 
     def bands(self, df: DataFrame) -> DataFrame:
         return lsh_band_buckets(df, self.cfg.R, self.cfg.B)

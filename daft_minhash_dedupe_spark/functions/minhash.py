@@ -36,8 +36,23 @@ from pyspark.sql import types as T
 
 from daft_minhash_dedupe_spark.config import MAX_HASH_32, MERSENNE_PRIME
 
-# Keep the (n_shingles × num_perm) uint64 intermediate under ~256 MB per chunk.
-_CHUNK_CELLS = 32_000_000
+# Keep the (n_shingles × num_perm) uint64 intermediate at ~32 MB per chunk —
+# small enough to stay cache/TLB-friendly and to make first-touch page faults
+# negligible (a 256 MB chunk measured 5s of fault time per fresh buffer).
+_CHUNK_CELLS = 4_000_000
+
+# worker-global scratch, reused across Arrow batches (python workers are
+# long-lived under spark.python.worker.reuse): key = num_perm
+_KERNEL_BUF: dict[int, np.ndarray] = {}
+
+
+def _scratch(rows: int, num_perm: int) -> np.ndarray:
+    buf = _KERNEL_BUF.get(num_perm)
+    if buf is None or buf.shape[0] < rows:
+        buf = np.empty((rows, num_perm), dtype=np.uint64)
+        buf.fill(0)  # prefault every page once, here, not inside the hot loop
+        _KERNEL_BUF[num_perm] = buf
+    return buf
 
 
 def tokens(col: Column) -> Column:
@@ -103,6 +118,12 @@ def _min_signatures_flat(
     empty = lens == 0
     row = 0
     max_cells = max(_CHUNK_CELLS // num_perm, 1)
+    # reusable worker-global (shingles, num_perm) scratch: the naive
+    # out-of-place expression allocates four fresh temporaries per chunk and
+    # is page-fault-bound (measured ~10× slower than this in-place pipeline)
+    buf = _scratch(min(max_cells, int(offsets[-1]) or 1), num_perm)
+    mod = np.uint64(MERSENNE_PRIME)
+    mask = np.uint64(MAX_HASH_32)
     while row < n:
         end = row + 1
         cells = int(lens[row])
@@ -111,10 +132,14 @@ def _min_signatures_flat(
             end += 1
         lo, hi = int(offsets[row]), int(offsets[end])
         if hi > lo:
-            h32 = values[lo:hi].astype(np.uint64) & np.uint64(MAX_HASH_32)
-            ph = ((np.multiply.outer(h32, a) + b) % np.uint64(MERSENNE_PRIME)) & np.uint64(
-                MAX_HASH_32
-            )
+            h32 = values[lo:hi].astype(np.uint64)
+            h32 &= mask
+            if hi - lo > buf.shape[0]:
+                buf = _scratch(hi - lo, num_perm)
+            ph = np.multiply.outer(h32, a, out=buf[: hi - lo])
+            ph += b
+            ph %= mod
+            ph &= mask
             ne = ~empty[row:end]
             starts = (offsets[row:end][ne] - lo).astype(np.int64)
             out[row:end][ne] = np.minimum.reduceat(ph, starts, axis=0).astype(np.int64)

@@ -133,15 +133,38 @@ class MinHashDedupePipeline:
         prepped = ck.stage("prepped", self.prep(df))
         id_map = prepped.select(c.index_col, "node_id").distinct()
 
+        # CPU-heavy narrow stages (regex/UDF text work) must not run at the
+        # parallelism AQE-coalesce or parquet split sizing picks for small
+        # BYTE sizes — 150MB of text is 3 input splits but hours of per-core
+        # work at scale. Pin them to the cluster's core count.
+        par = df.sparkSession.sparkContext.defaultParallelism
+
         # normalize is its own stage boundary: chaining the NFD pandas UDF and
         # the minhash Arrow kernel inside ONE stage measured ~6× slower (two
         # ArrowEvalPython nodes pipelined back-to-back); the reference makes
         # the same call eagerly (FRICTION_LOG.md:32)
         norm = ck.stage(
             "normalized",
-            self.normalize(prepped).select(c.index_col, "node_id", "content_normalized"),
+            self.normalize(prepped.repartition(par)).select(
+                c.index_col, "node_id", "content_normalized"
+            ),
         )
-        sigs = ck.stage("signatures", self.signatures(norm))
+        # materialize the shingle arrays BEFORE the pandas-UDF kernel: feeding
+        # the ArrowEvalPython node an expensive unmaterialized projection
+        # measured ~8× slower than a bound column (the JVM re-buffers/spills
+        # the full input rows around the Python exchange)
+        shingled = ck.iter_checkpoint(
+            add_shingles(
+                norm.repartition(par), "content_normalized", c.ngram_size, "shingles"
+            ).select(c.index_col, "node_id", "shingles"),
+            "shingled",
+        )
+        sigs_df = shingled.withColumn(
+            "min_hashes", minhash_signature(F.col("shingles"), c.num_perm, c.seed)
+        )
+        if not c.verify_pairs:
+            sigs_df = sigs_df.drop("shingles")
+        sigs = ck.stage("signatures", sigs_df)
         buckets = ck.stage("bands", self.bands(sigs))
         edges = ck.stage("pairs", self.candidate_edges(buckets, sigs))
         assignments = ck.stage(

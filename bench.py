@@ -43,19 +43,15 @@ def _fresh_spark(n_cores: int, shuffle_partitions: int | None = None):
 
 
 def run_flagship(spark, n_docs: int, seed: int = 42) -> tuple[float, int]:
-    """Dedup the deterministic synthetic web corpus; returns (sec, rows_in)."""
-    from pyspark.sql import functions as F
+    """Dedup the deterministic synthetic web corpus; returns (sec, rows_in).
 
+    The corpus is generated Spark-side (sources/synthetic_spark.py) and
+    materialized before the clock starts, so the measurement is pure dedup."""
     from daft_minhash_dedupe_spark.config import DedupeConfig
     from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline, prepare_web_pages
-    from daft_minhash_dedupe_spark.sources.synthetic import generate_web_pages_pandas
+    from daft_minhash_dedupe_spark.sources.synthetic_spark import bench_corpus
 
-    pdf, _ = generate_web_pages_pandas(n_rows=n_docs, seed=seed)
-    df = spark.createDataFrame(
-        pdf[["url", "warc_ts", "text"]].assign(html=None, lang="en"),
-        schema="url string, warc_ts timestamp, text string, html binary, lang string",
-    )
-    df = prepare_web_pages(df).localCheckpoint(eager=True)  # exclude gen time
+    df = prepare_web_pages(bench_corpus(spark, n_docs, seed)).localCheckpoint(eager=True)
     rows_in = df.count()
     t0 = time.time()
     res = MinHashDedupePipeline(DedupeConfig()).run(df)

@@ -1,0 +1,82 @@
+"""Spark-native deterministic corpus generator (bench scale).
+
+The pandas generator (synthetic.py) builds rich ground truth for recall
+oracles but is driver-side Python — fine at 10^5 rows, not at 10^6+. This
+generator builds the same *statistical* shape entirely in JVM expressions
+(seeded xxhash64 arithmetic, no Python, no driver memory), so benchmark and
+scaling-study corpora can be generated at any size:
+
+- ~30% of rows belong to duplicate families of 4 (template = family id);
+  members carry ~2% seeded token substitutions (word-5-gram Jaccard ≈ 0.8);
+- one hot family of ``hot_size`` near-identical rows (skew driver);
+- remaining rows are unique documents of 80-400 tokens.
+
+Determinism: every token is ``tok{xxhash64(seed, ...) % vocab}`` — same seed
+⇒ byte-identical corpus, any cluster size, any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bench_corpus(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    vocab: int = 2000,
+    hot_size: int = 100,
+) -> DataFrame:
+    """(url, warc_ts, html, text, lang) input_hint-shaped DataFrame."""
+    par = spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_rows, 1, par)
+
+    is_hot = F.col("id") < hot_size
+    in_family = (~is_hot) & (
+        F.pmod(F.xxhash64(F.lit(seed), F.col("id"), F.lit("fam")), F.lit(10)) < 3
+    )
+    # bind the per-row scalars as real columns so the token lambda references
+    # them instead of re-deriving per element (same CSE rule as add_shingles)
+    df = (
+        base.withColumn(
+            "template",
+            F.when(is_hot, F.lit(0))
+            .when(in_family, (F.col("id") / 4).cast("long") * 4)
+            .otherwise(F.col("id")),
+        )
+        .withColumn(
+            "noisy", in_family & (F.pmod(F.col("id"), F.lit(4)) != 1)
+        )
+        .withColumn(
+            "length",
+            F.when(is_hot, F.lit(120)).otherwise(
+                F.pmod(F.xxhash64(F.lit(seed), F.col("template"), F.lit("len")), F.lit(321)) + 80
+            ),
+        )
+    )
+    # token t_i: from the TEMPLATE stream, except ~2% member-specific noise
+    # (member 1 of each family carries no noise → exact duplicate of template)
+    toks = F.transform(
+        F.sequence(F.lit(1), F.col("length")),
+        lambda i: F.concat(
+            F.lit("tok"),
+            F.pmod(
+                F.when(
+                    F.col("noisy")
+                    & (F.pmod(F.xxhash64(F.lit(seed), F.col("id"), i, F.lit("noise")), F.lit(50)) == 0),
+                    F.xxhash64(F.lit(seed), F.col("id"), i, F.lit("sub")),
+                ).otherwise(F.xxhash64(F.lit(seed), F.col("template"), i, F.lit("tok"))),
+                F.lit(vocab),
+            ),
+        ),
+    )
+    text = F.array_join(toks, " ")
+    langs = F.array(*[F.lit(x) for x in ["en", "fr", "es", "de", "zh"]])
+    return df.select(
+        F.concat(F.lit("https://site"), F.pmod(F.col("id"), F.lit(50)), F.lit(".example/p/"), F.col("id")).alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.pmod(F.xxhash64(F.lit(seed), F.col("id"), F.lit("ts")), F.lit(10**7)))).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        text.alias("text"),
+        F.element_at(langs, (F.pmod(F.xxhash64(F.lit(seed), F.col("id"), F.lit("lang")), F.lit(5)) + 1).cast("int")).alias("lang"),
+    )

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""spark-submit entry point.
+
+    spark-submit --py-files dist/daft_minhash_dedupe_spark.zip main.py \
+        --input /path/or/iceberg.table --output /path/out \
+        --checkpoint /path/ckpt [--resume] [--verify-pairs] \
+        [--num-perm 64] [--ngram 5] [--threshold 0.7] [--seed 42]
+
+Input: the input_hint web-pages table (url, warc_ts, html, text, lang) as an
+Iceberg identifier (when the session has an Iceberg catalog) or a parquet
+path. Outputs: survivors + full cluster_id assignment table (write-back),
+each via the reference's partitioned-save shape. Build the zip with:
+    cd <repo> && zip -r dist/daft_minhash_dedupe_spark.zip daft_minhash_dedupe_spark
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--verify-pairs", action="store_true")
+    p.add_argument("--num-perm", type=int, default=64)
+    p.add_argument("--ngram", type=int, default=5)
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--algorithm", default="two_phase", choices=["two_phase", "alternating"])
+    p.add_argument("--chunk-size", type=int, default=200_000)
+    p.add_argument("--max-partitions", type=int, default=2048)
+    return p.parse_args()
+
+
+def main() -> None:
+    args = parse_args()
+    from daft_minhash_dedupe_spark.config import DedupeConfig
+    from daft_minhash_dedupe_spark.io import (
+        StageCheckpointer,
+        partitioned_save,
+        read_table,
+        write_table,
+    )
+    from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline, prepare_web_pages
+    from daft_minhash_dedupe_spark.session import get_spark
+
+    spark = get_spark(app_name="minhash_dedupe")
+    t0 = time.time()
+    pages = read_table(spark, args.input)
+    df = prepare_web_pages(pages)
+
+    cfg = DedupeConfig(
+        num_perm=args.num_perm,
+        ngram_size=args.ngram,
+        threshold=args.threshold,
+        seed=args.seed,
+        algorithm=args.algorithm,
+        verify_pairs=args.verify_pairs,
+        checkpoint_dir=args.checkpoint,
+    )
+    ck = StageCheckpointer(spark, root=args.checkpoint, resume=args.resume)
+    res = MinHashDedupePipeline(cfg).run(df, checkpointer=ck)
+
+    rows_before = df.count()
+    partitioned_save(
+        res["results"], f"{args.output}/survivors", args.chunk_size, args.max_partitions
+    )
+    # cluster_id write-back (north rule): every row with its cluster id
+    write_table(res["clusters"], f"{args.output}/clusters")
+    rows_after = res["results"].count()
+    dt = time.time() - t0
+    print("─" * 70)
+    print(f"rows before:  {rows_before}")
+    print(f"rows after:   {rows_after} ({rows_after / max(rows_before, 1) * 100:.2f}% kept)")
+    print(f"wall time:    {dt:.2f}s  ({rows_before / dt:.0f} docs/s)")
+    print(f"output:       {args.output}")
+    print("─" * 70)
+
+
+if __name__ == "__main__":
+    main()

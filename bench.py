@@ -85,12 +85,60 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_recall(spark, n_docs: int = 5000, seed: int = 11) -> dict:
+    """Dup-pair recall vs planted ground truth + near-miss precision +
+    cluster parity vs the pure-Python oracle (BASELINE.md criteria)."""
+    from daft_minhash_dedupe_spark import oracle
+    from daft_minhash_dedupe_spark.config import DedupeConfig
+    from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline, prepare_web_pages
+    from daft_minhash_dedupe_spark.sources.synthetic import generate_web_pages
+
+    df, truth = generate_web_pages(spark, n_rows=n_docs, seed=seed)
+    cfg = DedupeConfig(index_col="block_id", content_col="block_text", verify_pairs=True)
+    res = MinHashDedupePipeline(cfg).run(prepare_web_pages(df))
+    comp = {
+        r["block_id"]: r["component"]
+        for r in res["clusters"].select("block_id", "component").collect()
+    }
+    dup = truth["dup_pairs"]
+    found = sum(1 for a, b in dup if comp[a] == comp[b])
+    near_wrong = sum(1 for a, b in truth["near_miss_pairs"] if comp[a] == comp[b])
+    # oracle parity: same clusters as the independent python reimplementation
+    assigns = {r["u"]: r["rep"] for r in res["assignments"].collect()}
+    id_of = {r["block_id"]: r["node_id"] for r in res["id_map"].collect()}
+    docs = {id_of[r["block_id"]]: r["block_text"] for r in prepare_web_pages(df).collect()}
+    want = oracle.minhash_lsh_clusters(docs, cfg.num_perm, cfg.ngram_size, cfg.seed, cfg.B, cfg.R)
+    # note: verify_pairs prunes LSH false positives, so parity here means the
+    # spark partition must REFINE the oracle's (every spark cluster ⊆ oracle cluster)
+    spark_parts = oracle.partition_sets(assigns)
+    want_parts = oracle.partition_sets(want)
+    node2want = {n: rep for n, rep in want.items()}
+    refines = all(
+        len({node2want.get(m, m) for m in part}) == 1 for part in spark_parts
+    )
+    return {
+        "docs": n_docs,
+        "planted_dup_pairs": len(dup),
+        "dup_pair_recall": round(found / len(dup), 5) if dup else 1.0,
+        "near_miss_pairs_merged": near_wrong,
+        "spark_partition_refines_oracle": bool(refines),
+        "oracle_parity_exact": spark_parts == want_parts,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="run local[N] vs local[4N] scaling study")
+    ap.add_argument("--recall", action="store_true", help="recall/precision vs planted ground truth")
     ap.add_argument("--docs", type=int, default=int(os.environ.get("BENCH_DOCS", "20000")))
     ap.add_argument("--skip-queries", action="store_true")
     args = ap.parse_args()
+
+    if args.recall:
+        spark = _fresh_spark(CPUS)
+        print(json.dumps(run_recall(spark, min(args.docs, 5000))))
+        spark.stop()
+        return
 
     if args.scaling:
         report = {"input_docs": args.docs, "runs": {}}

@@ -60,46 +60,61 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
 
 
-def shingle_hashes_from_tokens(tok: Column, ngram_size: int) -> Column:
-    """Distinct xxhash64 values of the word ``ngram_size``-gram shingles of an
-    ALREADY-MATERIALIZED token-array column.
+def shingle_hashes_from_token_hashes(th: Column, ngram_size: int) -> Column:
+    """Distinct shingle hashes from an ALREADY-MATERIALIZED array of per-token
+    xxhash64 values: each shingle hash is ``xxhash64(th[i], …, th[i+n-1])``
+    (Spark's multi-column chain over fixed-width longs).
 
-    PERF: ``tok`` must be a bound column reference (``F.col``), not a nested
-    expression — Catalyst does not common-subexpression-eliminate inside
-    ``transform`` lambdas, so an inline ``split()`` here would be recomputed
-    once per shingle window (O(tokens²); measured 10× slower at 20k docs).
-    Use ``add_shingles`` for the two-step dataframe idiom.
+    Why token hashes instead of joined shingle strings: building 20M+ joined
+    strings per million docs hits the JVM allocation/GC wall (string shingles
+    measured ~0 scaling from 8→32 local cores); hashing each token ONCE and
+    then hashing 8-byte windows is allocation-free per window. Shingle
+    identity semantics are unchanged — distinct token windows ↔ distinct
+    hash tuples (modulo 64-bit collisions).
+
+    PERF: ``th`` must be a bound column reference — Catalyst does not CSE
+    inside ``transform`` lambdas (an inline expression would be recomputed
+    per window; measured 10×). Use ``add_shingles`` for the dataframe idiom.
     """
-    n = F.size(tok)
-    # one shingle per window; short docs (< ngram_size tokens) → one shingle
-    n_shingles = F.greatest(n - F.lit(ngram_size - 1), F.least(n, F.lit(1)))
-    windows = F.sequence(F.lit(1), F.greatest(n_shingles, F.lit(1)))
-    shingles = F.transform(
-        windows, lambda i: F.array_join(F.slice(tok, i, ngram_size), " ")
+    n = F.size(th)
+    windows = F.sequence(F.lit(1), F.greatest(n - F.lit(ngram_size - 1), F.lit(1)))
+    full = F.transform(
+        windows,
+        lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(ngram_size)]),
     )
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    return F.when(n == 0, F.array().cast("array<bigint>")).otherwise(
-        F.array_distinct(hashes)
+    # short docs (< ngram_size tokens): ONE shingle over all n tokens
+    short = F.xxhash64(F.element_at(th, 1))
+    for c in range(2, ngram_size):
+        short = F.when(
+            n == c, F.xxhash64(*[F.element_at(th, k) for k in range(1, c + 1)])
+        ).otherwise(short)
+    return (
+        F.when(n == 0, F.array().cast("array<bigint>"))
+        .when(n < ngram_size, F.array(short))
+        .otherwise(F.array_distinct(full))
     )
 
 
 def add_shingles(
     df, text_col: str, ngram_size: int = 5, out_col: str = "shingles"
 ):
-    """Two-step shingle computation: materialize the token array once, then
-    window/hash over the bound reference (the fast path — see
-    ``shingle_hashes_from_tokens``)."""
+    """Two-step shingle computation: materialize token array and per-token
+    hashes as columns once, then hash fixed-width windows over the bound
+    references (the fast path — see ``shingle_hashes_from_token_hashes``)."""
     return (
         df.withColumn("__tok", tokens(F.col(text_col)))
-        .withColumn(out_col, shingle_hashes_from_tokens(F.col("__tok"), ngram_size))
-        .drop("__tok")
+        .withColumn("__th", F.transform(F.col("__tok"), lambda t: F.xxhash64(t)))
+        .withColumn(out_col, shingle_hashes_from_token_hashes(F.col("__th"), ngram_size))
+        .drop("__tok", "__th")
     )
 
 
 def shingle_hashes(col: Column, ngram_size: int) -> Column:
     """Single-expression convenience form (small inputs / tests only —
     recomputes the token split per window; hot paths use ``add_shingles``)."""
-    return shingle_hashes_from_tokens(tokens(col), ngram_size)
+    return shingle_hashes_from_token_hashes(
+        F.transform(tokens(col), lambda t: F.xxhash64(t)), ngram_size
+    )
 
 
 def _min_signatures_flat(

@@ -67,3 +67,44 @@ def normalize_text(
     if white_space:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out
+
+
+def normalize_dataframe(
+    df,
+    text_col: str,
+    out_col: str,
+    remove_punct: bool = True,
+    lowercase: bool = False,
+    nfd_unicode: bool = True,
+    white_space: bool = True,
+):
+    """DataFrame-level normalize that keeps ASCII rows OUT of Python.
+
+    NFD is the identity on ASCII text, but Catalyst extracts python UDFs out
+    of conditionals and evaluates them on every row — a `when(ascii, x)
+    .otherwise(nfd(x))` still ships the whole corpus through the Arrow
+    socket both ways. Splitting the frame JVM-side (`rlike` ASCII test) and
+    unioning back means the UDF transport pays only for the non-ASCII
+    minority of real webtext. Column order/semantics identical to
+    ``normalize_text``.
+    """
+    if not nfd_unicode:
+        return df.withColumn(
+            out_col,
+            normalize_text(F.col(text_col), remove_punct, lowercase, False, white_space),
+        )
+    pre = F.col(text_col)
+    if remove_punct:
+        pre = F.regexp_replace(pre, _PUNCT_CLASS, "")
+    if lowercase:
+        pre = F.lower(pre)
+    staged = df.withColumn("__pre", pre)
+    is_ascii = F.col("__pre").rlike(r"^[\x00-\x7F]*$") | F.col("__pre").isNull()
+    post = F.col("__pre")
+    post_nfd: Column = _nfd_udf(F.col("__pre"))
+    if white_space:
+        post = F.trim(F.regexp_replace(post, r"\s+", " "))
+        post_nfd = F.trim(F.regexp_replace(post_nfd, r"\s+", " "))
+    ascii_rows = staged.where(is_ascii).withColumn(out_col, post)
+    other_rows = staged.where(~is_ascii).withColumn(out_col, post_nfd)
+    return ascii_rows.unionByName(other_rows).drop("__pre")

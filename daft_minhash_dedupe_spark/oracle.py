@@ -89,18 +89,32 @@ def xxh64_signed(data: bytes, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def xxh64_chain_longs(values: list[int], seed: int = 42) -> int:
+    """Spark's multi-column ``xxhash64(l1, l2, …)`` over LongType columns:
+    each long is hashed as its 8 little-endian bytes, the running hash is the
+    seed for the next column. Returns signed."""
+    h = seed
+    for v in values:
+        h = xxh64((v & ((1 << 64) - 1)).to_bytes(8, "little"), h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def shingle_set(text: str, ngram_size: int) -> list[int]:
-    """Distinct shingle hashes matching functions/minhash.shingle_hashes."""
+    """Distinct shingle hashes matching
+    functions/minhash.shingle_hashes_from_token_hashes: per-token xxhash64 of
+    the utf-8 bytes, then xxhash64-chain over each ``ngram_size`` window
+    (short docs: one chain over all tokens)."""
     toks = text.split()
     if not toks:
         return []
-    if len(toks) < ngram_size:
-        grams = [" ".join(toks)]
+    th = [xxh64_signed(t.encode("utf-8")) for t in toks]
+    if len(th) < ngram_size:
+        windows = [th]
     else:
-        grams = [" ".join(toks[i : i + ngram_size]) for i in range(len(toks) - ngram_size + 1)]
+        windows = [th[i : i + ngram_size] for i in range(len(th) - ngram_size + 1)]
     seen: dict[int, None] = {}
-    for g in grams:
-        seen.setdefault(xxh64_signed(g.encode("utf-8")), None)
+    for w in windows:
+        seen.setdefault(xxh64_chain_longs(w), None)
     return list(seen)
 
 

@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 from daft_minhash_dedupe_spark.config import DedupeConfig
 from daft_minhash_dedupe_spark.functions.hashing import doc_id_from_url
 from daft_minhash_dedupe_spark.functions.minhash import add_shingles, minhash_signature
-from daft_minhash_dedupe_spark.functions.normalize import normalize_text
+from daft_minhash_dedupe_spark.functions.normalize import (
+    normalize_dataframe,
+    normalize_text,
+)
 from daft_minhash_dedupe_spark.io import StageCheckpointer
 from daft_minhash_dedupe_spark.operators.banding import lsh_band_buckets
 from daft_minhash_dedupe_spark.operators.components import connected_components
@@ -76,15 +79,14 @@ class MinHashDedupePipeline:
 
     def normalize(self, df: DataFrame) -> DataFrame:
         c = self.cfg
-        return df.withColumn(
+        return normalize_dataframe(
+            df,
+            c.content_col,
             "content_normalized",
-            normalize_text(
-                F.col(c.content_col),
-                remove_punct=c.remove_punct,
-                lowercase=c.lowercase,
-                nfd_unicode=c.nfd_unicode,
-                white_space=c.white_space,
-            ),
+            remove_punct=c.remove_punct,
+            lowercase=c.lowercase,
+            nfd_unicode=c.nfd_unicode,
+            white_space=c.white_space,
         )
 
     def signatures(self, df: DataFrame) -> DataFrame:

@@ -60,3 +60,20 @@ def test_normalize_null_safe(spark):
     df = spark.createDataFrame([(None,)], "t string")
     out = df.select(normalize_text(F.col("t")).alias("n")).first()["n"]
     assert out is None
+
+
+def test_normalize_dataframe_matches_column_expr(spark):
+    from daft_minhash_dedupe_spark.functions.normalize import normalize_dataframe
+
+    samples = [PINNED_IN, "pure ascii text  here", "", None, "mixé ascii ñon", "Ünïcode  only"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, t string")
+    for flags in [(True, True, True, True), (True, False, True, True), (False, False, True, False)]:
+        via_df = {
+            r["i"]: r["n"]
+            for r in normalize_dataframe(df, "t", "n", *flags).collect()
+        }
+        via_col = {
+            r["i"]: r["n"]
+            for r in df.select("i", normalize_text(F.col("t"), *flags).alias("n")).collect()
+        }
+        assert via_df == via_col, flags

@@ -86,7 +86,12 @@ class DedupeConfig:
     lowercase: bool = False
     nfd_unicode: bool = True
     white_space: bool = True
-    algorithm: str = "two_phase"  # or "alternating"
+    # "hash_to_min": pure min-label diffusion (the CC the north rule names) —
+    # fastest on low-diameter LSH graphs, verified identical partitions vs
+    # union-find on every test graph. "alternating"/"two_phase": the
+    # reference's star-contraction variants (workload/minhash_dedupe.py:149,
+    # :740) — prefer for pathological high-diameter edge sets.
+    algorithm: str = "hash_to_min"
     max_loops: int = 100
     # North-star addition (not in reference): exact-Jaccard verification of
     # LSH candidate pairs before clustering. Only ever REMOVES false-positive

@@ -195,6 +195,21 @@ def connected_components(
     Returns (u, rep) with rep = the global minimum node id of u's component —
     the invariant every downstream keep-rule depends on.
     """
+    if algorithm == "hash_to_min":
+        # no star contraction: initialize label(u) = min(u, min-neighbor) and
+        # diffuse. construct_assignments alone seeds rep = min OUTGOING
+        # neighbor, which on raw (bucket-min → member) edges can EXCEED u —
+        # star contraction normally reorients edges so that can't happen; the
+        # least(u, rep) init restores correctness for arbitrary edge sets.
+        # Fastest option on low-diameter LSH graphs (~2× vs alternating);
+        # star algorithms remain the safe choice for high-diameter graphs.
+        init = construct_assignments(edges).select(
+            "u", F.least("u", "rep").alias("rep")
+        )
+        return global_min_label_propagation(
+            edges, init, max_iters=max_loops, checkpoint=checkpoint
+        )
+
     b = checkpoint(edges, "cc_edges_0")
     sig_b = _edge_signature(b)
 

@@ -16,6 +16,11 @@ from pyspark.sql import SparkSession
 DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # NOTE: AQE's byte-based partition coalescing is correct for the
+    # shuffle-heavy relational stages (joins/CC iterations) — forcing a
+    # smaller minPartitionSize floor measured INVERSE scaling (tiny-task
+    # overhead). CPU-heavy narrow text stages are instead pinned to core
+    # count with explicit repartition() in the pipeline.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # bound each Arrow batch handed to the minhash kernel (memory ceiling)

@@ -54,7 +54,7 @@ def test_empty_edges_converges(spark):
     assert assigns.count() == 0
 
 
-@pytest.mark.parametrize("algorithm", ["alternating", "two_phase"])
+@pytest.mark.parametrize("algorithm", ["alternating", "two_phase", "hash_to_min"])
 def test_cc_known_graph(spark, algorithm):
     # reference pin (tests:342-353): components [[1,2,3,4],[5,6],[7 isolated]]
     e = _edges(spark, [(1, 2), (2, 3), (3, 4), (5, 6)])
@@ -62,7 +62,7 @@ def test_cc_known_graph(spark, algorithm):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
 
 
-@pytest.mark.parametrize("algorithm", ["alternating", "two_phase"])
+@pytest.mark.parametrize("algorithm", ["alternating", "two_phase", "hash_to_min"])
 def test_cc_chain_reaches_global_min(spark, algorithm):
     # long chain is the classic star-contraction stress (local-minima risk)
     chain = [(i, i + 1) for i in range(1, 30)]
@@ -87,7 +87,7 @@ def test_pairs_equal(spark):
     assert not pairs_equal(a, c)
 
 
-@pytest.mark.parametrize("algorithm", ["alternating", "two_phase"])
+@pytest.mark.parametrize("algorithm", ["alternating", "two_phase", "hash_to_min"])
 def test_cc_random_graphs_match_union_find_oracle(spark, algorithm):
     rng = random.Random(42)
     for trial in range(3):

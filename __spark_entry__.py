@@ -173,6 +173,54 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daft_minhash_dedupe_spark.extras.text_analysis import (
+        bpe_token_count,
+        stopword_ratio,
+    )
+
+    c = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+    )
+
+
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from daft_minhash_dedupe_spark.extras.embedding_ann import cosine_similarity
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("_qv")
+    )
+    c = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 4).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+        F.col("rank") <= 3
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("win.start").alias("hour_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", language_id(F.col("text")).alias("lang_pred")
@@ -194,9 +242,12 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.05, max_posting=None
-    ).select("u", "v", "jaccard")
+    # exact (non-LSH) similarity join is quadratic by design — bound the
+    # sample so the bench-scale run stays proportionate (no-op at sf<=0.01)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 2000)
+    return ngram_jaccard_pairs(docs, threshold=0.05, max_posting=None).select(
+        "u", "v", "jaccard"
+    )
 
 
 def _q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +333,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "shingle_stats": _q_shingle_stats,
         "text_quality": _q_text_quality,
+        "token_analysis": _q_token_analysis,
+        "knn_join": _q_knn_join,
+        "events_hourly": _q_events_hourly,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "simhash_fingerprints": _q_simhash,
@@ -345,7 +399,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "ngram_jaccard_pairs": f"""
-            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 2000),
             sh AS (
               SELECT doc_id,
                      CASE WHEN len(toks) = 0 THEN []
@@ -364,6 +418,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes su ON su.doc = u
             JOIN sizes sv ON sv.doc = v
             WHERE common / CAST(su.n_sh + sv.n_sh - common AS DOUBLE) >= 0.05
+        """,
+        "token_analysis": f"""
+            WITH t AS (SELECT doc_id, text, list_transform({toks}, x -> lower(x)) AS toks FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+                   round(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE len(list_filter(toks, x -> list_contains(
+                              ['the','and','of','to','in','is','that','it','for','with',
+                               'a','an','on','as','at','by','be','or'], x)))
+                              / CAST(len(toks) AS DOUBLE) END, 4) AS stopword_ratio
+            FROM t
+        """,
+        "knn_join": """
+            WITH scored AS (
+              SELECT q.vec_id AS q_id, c.vec_id,
+                     round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+              FROM embeddings c
+              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+              WHERE q.vec_id <> c.vec_id)
+            SELECT q_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored)
+            WHERE rank <= 3
+        """,
+        "events_hourly": """
+            SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS hour_epoch,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

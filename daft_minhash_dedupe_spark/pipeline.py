@@ -145,10 +145,13 @@ class MinHashDedupePipeline:
         # the minhash Arrow kernel inside ONE stage measured ~6× slower (two
         # ArrowEvalPython nodes pipelined back-to-back); the reference makes
         # the same call eagerly (FRICTION_LOG.md:32)
+        # downstream of prep, rows travel by integer node_id only — the string
+        # key stays in id_map and rejoins at merge (smaller caches, and the
+        # pandas-UDF stage doesn't ship passthrough strings to Python)
         norm = ck.stage(
             "normalized",
             self.normalize(prepped.repartition(par)).select(
-                c.index_col, "node_id", "content_normalized"
+                "node_id", "content_normalized"
             ),
         )
         # materialize the shingle arrays BEFORE the pandas-UDF kernel: feeding
@@ -158,7 +161,7 @@ class MinHashDedupePipeline:
         shingled = ck.iter_checkpoint(
             add_shingles(
                 norm.repartition(par), "content_normalized", c.ngram_size, "shingles"
-            ).select(c.index_col, "node_id", "shingles"),
+            ).select("node_id", "shingles"),
             "shingled",
         )
         sigs_df = shingled.withColumn(

@@ -1,0 +1,43 @@
+"""main.py spark-submit entry: end-to-end over a parquet web_pages table,
+including survivors + cluster write-back and checkpoint resume."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_main_cli_end_to_end(spark, tmp_path):
+    # build a small input table with the session fixture, then run the CLI as
+    # its own process (it creates its own local session)
+    from daft_minhash_dedupe_spark.sources.synthetic import generate_web_pages
+
+    df, _ = generate_web_pages(spark, n_rows=60, seed=3)
+    inp = str(tmp_path / "web_pages")
+    df.write.parquet(inp)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cmd = [
+        sys.executable, str(REPO / "main.py"),
+        "--input", inp, "--output", out, "--checkpoint", ckpt, "--resume",
+    ]
+    import os
+
+    env = dict(os.environ)
+    env.update({"SPARK_GRAFT_MASTER": "local[4]", "SPARK_GRAFT_DRIVER_MEM": "4g"})
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env, cwd=str(REPO))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "rows before:  60" in r.stdout
+
+    survivors = spark.read.parquet(f"{out}/survivors")
+    clusters = spark.read.parquet(f"{out}/clusters")
+    n_surv = survivors.count()
+    assert 0 < n_surv <= 60
+    assert clusters.count() == 60
+    assert set(["block_id", "block_text", "component"]) <= set(clusters.columns)
+    # keep-rule consistency: one survivor per cluster
+    assert clusters.select("component").distinct().count() == n_surv
+    # stage markers present for resume
+    assert (Path(ckpt) / "signatures" / "_STAGE_OK").exists()

@@ -221,6 +221,53 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daft_minhash_dedupe_spark.extras.substring_dedupe import substring_dup_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 2000)
+    return substring_dup_pairs(docs, window_tokens=20, max_posting=None).select("u", "v")
+
+
+def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+def _q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("O", 2).alias("qty_open"),
+        F.round("F", 2).alias("qty_filled"),
+    )
+
+
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_flag = ev.withColumn(
+        "_new", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    )
+    with_sid = with_flag.withColumn(
+        "session_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("start_epoch"),
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", language_id(F.col("text")).alias("lang_pred")
@@ -336,6 +383,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_analysis": _q_token_analysis,
         "knn_join": _q_knn_join,
         "events_hourly": _q_events_hourly,
+        "substring_dup_pairs": _q_substring_dups,
+        "pricing_rollup": _q_pricing_rollup,
+        "status_pivot": _q_status_pivot,
+        "user_sessions": _q_user_sessions,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "simhash_fingerprints": _q_simhash,
@@ -448,6 +499,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS hour_epoch,
                    event_type, count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "substring_dup_pairs": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 2000),
+            w AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(toks) = 0 THEN []
+                     WHEN len(toks) < 20 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(toks) - 18),
+                          i -> array_to_string(toks[i:i+19], ' '))) END) AS win
+              FROM t),
+            g AS (SELECT win, min(doc_id) AS u FROM w GROUP BY win)
+            SELECT DISTINCT g.u AS u, w.doc_id AS v
+            FROM w JOIN g USING (win) WHERE w.doc_id <> g.u
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "status_pivot": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "user_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, epoch(ts) AS e,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch
+            FROM sess GROUP BY user_id, session_id
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -48,7 +48,12 @@ def prepare_web_pages(
     — extraction already happened upstream (byte-identical text per url), so
     this is a pure projection plus latest-crawl-per-url selection (window max,
     a new convenience the reference lacks)."""
-    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    # xxhash64(text) tiebreak → deterministic pick when a url was crawled
+    # twice at the same timestamp (row_number over ts alone would be
+    # partition-order dependent)
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.xxhash64("text").asc()
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

@@ -42,7 +42,9 @@ def _norm_val(v):
 
 def _rows_to_set(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_val(r[i]) for i in idx) for r in rows)
+    out = [tuple(_norm_val(r[i]) for i in idx) for r in rows]
+    # None-safe ordering (rollup grouping NULLs)
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
 ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())

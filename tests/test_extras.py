@@ -251,3 +251,33 @@ def test_streaming_exact_dedupe(spark, tmp_path):
     out = spark.sql("select * from dedup_out").collect()
     texts = sorted(r["text"] for r in out)
     assert texts == ["other text", "same text"]
+
+
+# -- substring dedupe ----------------------------------------------------------
+
+
+def test_substring_dup_pairs(spark):
+    shared_run = " ".join(f"run{i}" for i in range(60))
+    a = "intro words " + shared_run + " tail a"
+    b = "different prefix here " + shared_run + " other ending"
+    c = " ".join(f"uniq{i}" for i in range(80))
+    from daft_minhash_dedupe_spark.extras.substring_dedupe import (
+        substring_dedupe_components,
+        substring_dup_pairs,
+    )
+
+    df = _docs(spark, [a, b, c])
+    pairs = {(r["u"], r["v"]) for r in substring_dup_pairs(df, window_tokens=50).collect()}
+    assert pairs == {(0, 1)}  # share a verbatim 60-token run
+    comps = {r["doc_id"]: r["component"] for r in substring_dedupe_components(df, window_tokens=50).collect()}
+    assert comps == {0: 0, 1: 0, 2: 2}
+
+
+def test_substring_no_false_pairs_below_window(spark):
+    short_shared = " ".join(f"s{i}" for i in range(10))  # only 10 tokens shared
+    a = short_shared + " " + " ".join(f"a{i}" for i in range(60))
+    b = short_shared + " " + " ".join(f"b{i}" for i in range(60))
+    from daft_minhash_dedupe_spark.extras.substring_dedupe import substring_dup_pairs
+
+    df = _docs(spark, [a, b])
+    assert substring_dup_pairs(df, window_tokens=50).count() == 0

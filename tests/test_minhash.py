@@ -102,3 +102,22 @@ def test_minhash_properties_hypothesis(spark, text, num_perm, ngram):
     ).first()["sig"]
     assert len(sig) == num_perm
     assert all(isinstance(v, int) for v in sig)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg hij", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_shingles_and_signatures_match_oracle_hypothesis(spark, texts):
+    """Random whitespace-y texts: Spark shingle hashes AND signatures must be
+    bit-exact vs the pure-Python oracle (full-stack independence)."""
+    rows = _sig_df(spark, texts).orderBy("id").collect()
+    for i, t in enumerate(texts):
+        want_sh = sorted(oracle.shingle_set(t, 5))
+        assert sorted(rows[i]["sh"]) == want_sh, t
+        want_sig = oracle.signature(oracle.shingle_set(t, 5), 64, 42)
+        assert rows[i]["sig"] == want_sig.tolist(), t

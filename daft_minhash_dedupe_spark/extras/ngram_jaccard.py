@@ -22,10 +22,17 @@ from daft_minhash_dedupe_spark.functions.minhash import add_shingles
 def shingle_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram_size: int = 5
 ) -> DataFrame:
-    """(shingle, doc) inverted index over distinct shingle hashes."""
-    return add_shingles(df, text_col, ngram_size, "_sh").select(
-        F.col(id_col).alias("doc"), F.explode("_sh").alias("shingle")
+    """(shingle, doc) inverted index over distinct shingle hashes.
+
+    Shingle arrays are materialized before the explode (CollapseProject
+    would otherwise inline the chained transforms into the Generate and
+    re-evaluate them per row — see substring_dedupe)."""
+    shingled = (
+        add_shingles(df, text_col, ngram_size, "_sh")
+        .select(F.col(id_col).alias("doc"), "_sh")
+        .localCheckpoint(eager=False)
     )
+    return shingled.select("doc", F.explode("_sh").alias("shingle"))
 
 
 def ngram_jaccard_pairs(

@@ -26,10 +26,18 @@ from daft_minhash_dedupe_spark.operators.edges import build_edges_from_buckets
 def substring_window_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window_tokens: int = 50
 ) -> DataFrame:
-    """(window_hash, doc) — one row per distinct k-token window per doc."""
-    return add_shingles(df, text_col, window_tokens, "_w").select(
-        F.col(id_col).alias("node"), F.explode("_w").alias("band_key")
+    """(window_hash, doc) — one row per distinct k-token window per doc.
+
+    The window arrays are materialized (lazy localCheckpoint) before the
+    explode: Catalyst's CollapseProject otherwise inlines the chained
+    token→hash→window transforms into the Generate and re-evaluates them
+    (measured 10× at 2k docs)."""
+    shingled = (
+        add_shingles(df, text_col, window_tokens, "_w")
+        .select(F.col(id_col).alias("node"), "_w")
+        .localCheckpoint(eager=False)
     )
+    return shingled.select("node", F.explode("_w").alias("band_key"))
 
 
 def substring_dup_pairs(

@@ -134,6 +134,48 @@ def ann_topk_lsh(
     )
 
 
+def ivf_centroids(dim: int, n_lists: int = 16, seed: int = 7) -> np.ndarray:
+    """Seeded random unit centroids (k-means-free IVF coarse quantizer —
+    deterministic, no training pass; adequate for bucketing, and the
+    assignment expression is identical once real trained centroids exist)."""
+    c = np.random.RandomState(seed).randn(n_lists, dim)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_list_id(vec: Column, centroids: np.ndarray) -> Column:
+    """argmax-dot coarse assignment as a Catalyst expression tree."""
+    emb = vec.cast("array<double>")
+    best = F.struct(F.lit(-1e18).alias("score"), F.lit(-1).alias("list_id"))
+    scored = [
+        F.struct(dot(emb, _vec_lit(list(c))).alias("score"), F.lit(i).alias("list_id"))
+        for i, c in enumerate(centroids)
+    ]
+    return F.greatest(best, *scored)["list_id"]
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: scan only the ``n_probe`` inverted lists nearest the
+    query (struct-greatest argmax assignment; partition-prunable when the
+    table is written partitioned/bucketed by ``ivf_list``)."""
+    centroids = ivf_centroids(len(query), n_lists, seed)
+    q = np.asarray(query, dtype=float)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(centroids @ qn))[:n_probe].tolist()
+    bucketed = df.withColumn("_ivf", ivf_list_id(F.col(vec_col), centroids))
+    return brute_force_topk(
+        bucketed.where(F.col("_ivf").isin(probe)), query, k, vec_col, id_col
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     min_cosine: float = 0.95,

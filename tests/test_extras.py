@@ -281,3 +281,22 @@ def test_substring_no_false_pairs_below_window(spark):
 
     df = _docs(spark, [a, b])
     assert substring_dup_pairs(df, window_tokens=50).count() == 0
+
+
+def test_ann_topk_ivf_and_lsh_recall_vs_brute_force(spark):
+    from daft_minhash_dedupe_spark.extras.embedding_ann import (
+        ann_topk_ivf,
+        ann_topk_lsh,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(300, 16)
+    df = _emb_df(spark, vecs).localCheckpoint(eager=True)
+    query = list(vecs[11])
+    exact = [r["vec_id"] for r in brute_force_topk(df, query, k=10).collect()]
+    ivf = [r["vec_id"] for r in ann_topk_ivf(df, query, k=10, n_lists=8, n_probe=4).collect()]
+    lsh = [r["vec_id"] for r in ann_topk_lsh(df, query, k=10, n_planes=6).collect()]
+    # approximate methods: self must be found; decent overlap with exact top-10
+    assert ivf[0] == 11 and lsh[0] == 11
+    assert len(set(ivf) & set(exact)) >= 5
+    assert len(lsh) >= 1

@@ -95,15 +95,54 @@ def _q_minhash_dedupe_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["results"].select("block_id")
 
 
-def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, min_hashes array<bigint>) — internal; list columns crash the
+    driver canonicalizer, so the exposed query explodes to scalar rows."""
     df = add_shingles(_docs(spark, sf_dir), "text", 5, "_sh")
     return df.select(
         "doc_id", minhash_signature(F.col("_sh"), 64, 42).alias("min_hashes")
     )
 
 
+def _q_minhash_dedupe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable scalar invariants of the flagship pipeline (the cluster
+    table itself has no SQL oracle): every input doc gets exactly one cluster
+    assignment, and byte-identical texts always share a cluster (identical
+    text ⇒ identical signature ⇒ same band buckets ⇒ connected)."""
+    docs = _docs(spark, sf_dir)
+    res = MinHashDedupePipeline(DedupeConfig()).run(_docs_as_blocks(spark, sf_dir))
+    clusters = res["clusters"].select(
+        F.col("block_id").cast("bigint").alias("doc_id"), "component"
+    )
+    joined = docs.select("doc_id", F.md5("text").alias("_digest")).join(
+        clusters, "doc_id"
+    )
+    violations = (
+        joined.groupBy("_digest")
+        .agg(F.countDistinct("component").alias("n_comp"))
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("n_comp") > 1, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_exactdup_violations")
+        )
+    )
+    return (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(clusters.agg(F.count("*").alias("n_assigned")))
+        .crossJoin(violations)
+    )
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar rows (doc_id, perm_idx, min_hash): one row per signature slot
+    (no SQL oracle possible — Spark-seeded xxhash64 — but rows+schema check)."""
+    return _signatures_df(spark, sf_dir).select(
+        "doc_id", F.posexplode("min_hashes").alias("perm_idx", "min_hash")
+    )
+
+
 def _q_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _q_minhash_signatures(spark, sf_dir).withColumnRenamed("doc_id", "node_id")
+    df = _signatures_df(spark, sf_dir).withColumnRenamed("doc_id", "node_id")
     return lsh_band_buckets(df, R=8, B=8).select("band_idx", "band_key", "node")
 
 
@@ -369,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "minhash_dedupe_clusters": _q_minhash_dedupe,
         "minhash_dedupe_verified_survivors": _q_minhash_dedupe_verified,
+        "minhash_dedupe_stats": _q_minhash_dedupe_stats,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_bands": _q_lsh_bands,
         "candidate_edges": _q_candidate_edges,
@@ -481,6 +521,33 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(len(toks) AS DOUBLE) END, 4) AS stopword_ratio
             FROM t
         """,
+        "minhash_dedupe_stats": """
+            SELECT count(*) AS n_docs, count(*) AS n_assigned,
+                   CAST(0 AS BIGINT) AS n_exactdup_violations
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, text,
+                              list_transform({toks}, x -> lower(x)) AS toks
+                       FROM documents),
+            s AS (
+              SELECT doc_id, text,
+                -- struct comparison is field-order lexicographic in DuckDB and
+                -- Spark alike: max by hits, ties broken by max lang string
+                list_max([
+                  {{'hits': len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], x))), 'lang': 'en'}},
+                  {{'hits': len(list_filter(toks, x -> list_contains(['le','la','les','de','des','et','est','une','que','pour'], x))), 'lang': 'fr'}},
+                  {{'hits': len(list_filter(toks, x -> list_contains(['el','los','las','de','y','es','una','que','por','con'], x))), 'lang': 'es'}},
+                  {{'hits': len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','für'], x))), 'lang': 'de'}},
+                  {{'hits': len(list_filter(toks, x -> list_contains(['的','是','了','在','和','有','我','不','这','为'], x))), 'lang': 'zh'}}
+                ]) AS best
+              FROM t)
+            SELECT doc_id,
+              CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > length(text) * 0.25 THEN 'zh'
+                   WHEN best.hits > 0 THEN best.lang
+                   ELSE 'und' END AS lang_pred
+            FROM s
+        """,
         "knn_join": """
             WITH scored AS (
               SELECT q.vec_id AS q_id, c.vec_id,
@@ -526,7 +593,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_sessions": """
             WITH flagged AS (
-              SELECT user_id, ts, epoch(ts) AS e,
+              SELECT user_id, event_id, ts, epoch(ts) AS e,
                      CASE WHEN lag(ts) OVER w IS NULL
                                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                           THEN 1 ELSE 0 END AS new_s
@@ -534,8 +601,10 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sess AS (
               SELECT user_id, ts,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                     -- BIGINT (not HUGEINT) + (ts, event_id) order to match
+                     -- Spark's int64 running sum and its tiebreak exactly
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM flagged)
             SELECT user_id, session_id, count(*) AS n_events,
                    CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch

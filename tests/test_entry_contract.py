@@ -63,6 +63,18 @@ def test_query_matches_duckdb_oracle(spark, ddb, name):
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch"
     assert len(s_rows) == len(d_rows), f"{name}: rowcount {len(s_rows)} vs {len(d_rows)}"
+    # the driver hashes pandas values, so a dtype drift (DuckDB HUGEINT →
+    # Decimal vs Spark int64) is a red row even when values are equal —
+    # compare cell TYPES per column too (CORRECTNESS_r01 user_sessions lesson)
+    def _type_fp(cols, rows):
+        idx = sorted(range(len(cols)), key=lambda i: cols[i])
+        fp = {}
+        for j, i in enumerate(idx):
+            kinds = {type(r[i]).__name__ for r in rows if r[i] is not None}
+            fp[sorted(cols)[j]] = kinds
+        return fp
+
+    assert _type_fp(s_cols, s_rows) == _type_fp(d_cols, d_rows), f"{name}: cell dtypes"
     assert _rows_to_set(s_cols, s_rows) == _rows_to_set(d_cols, d_rows), f"{name}: values"
 
 

@@ -400,8 +400,20 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    return embedding_near_dup_pairs(emb, min_cosine=0.9).select("u", "v")
+    """Multi-band LSH near-dup pairs over the embeddings table plus 50
+    planted duplicates (scaled copies — sign LSH is scale-invariant, so the
+    planted pairs share every band bucket and the oracle equality is exact,
+    not vacuous; the raw table has no pairs at cosine ≥ 0.9)."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(
+        emb.unionByName(planted), min_cosine=0.9, n_bands=8, rows_per_band=8
+    ).select("u", "v")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -642,6 +654,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "embedding_near_dup": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000,
+                     list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+              FROM embeddings WHERE vec_id < 50)
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         """,
         "embedding_topk": """
             SELECT vec_id,

@@ -94,9 +94,12 @@ class DedupeConfig:
     algorithm: str = "hash_to_min"
     max_loops: int = 100
     # North-star addition (not in reference): exact-Jaccard verification of
-    # LSH candidate pairs before clustering. Only ever REMOVES false-positive
-    # edges, so planted-duplicate recall is unaffected.
+    # LSH candidate pairs before clustering. Verified paths generate pairwise
+    # within-bucket candidates (capped at pairwise_cap members, star fallback
+    # for hot buckets) — star edges alone can orphan a true pair whose bucket
+    # min fails verification against both endpoints.
     verify_pairs: bool = False
+    pairwise_cap: int = 64
     # Skew handling: number of salts for the two-phase salted band aggregation.
     num_salts: int = 16
     checkpoint_dir: str | None = None

@@ -15,8 +15,10 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -176,26 +178,107 @@ def ann_topk_ivf(
     )
 
 
-def embedding_near_dup_pairs(
+# Above this many plane-coefficient literals, the per-plane Catalyst
+# expression tree (dim literals × planes) gets slow to analyze — switch to
+# one Arrow-batched matmul UDF (planes matrix ships once in the closure).
+_EXPR_PATH_MAX_CELLS = 512
+
+
+def hyperplane_band_bits(
+    vec: Column,
+    planes: np.ndarray,
+    n_bands: int,
+    rows_per_band: int,
+) -> Column:
+    """``array<bigint>`` of length ``n_bands``: element i packs the
+    ``rows_per_band`` sign-of-projection bits of planes[i·r:(i+1)·r].
+
+    Two physical strategies behind one signature:
+    - small dim×planes: pure Catalyst (codegen'd dot per plane);
+    - large (e.g. 768-dim embeddings): a single pandas-UDF matmul —
+      (batch, dim) @ (dim, B·r) then bit-pack, no per-row Python.
+    Sign is scale-invariant, so both paths bucket identically for any
+    positive rescaling of the input vector.
+    """
+    assert planes.shape[0] == n_bands * rows_per_band
+    if planes.size <= _EXPR_PATH_MAX_CELLS:
+        emb = vec.cast("array<double>")
+        bands = []
+        for bi in range(n_bands):
+            acc = F.lit(0).cast("bigint")
+            for j in range(rows_per_band):
+                d = dot(emb, _vec_lit(list(planes[bi * rows_per_band + j])))
+                acc = acc + F.when(d > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+            bands.append(acc)
+        return F.array(*bands)
+
+    P = planes.astype(np.float64)  # (B*r, dim)
+    weights = (np.int64(1) << np.arange(rows_per_band, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _bits(vecs: pd.Series) -> pd.Series:
+        mask = vecs.notna().to_numpy()
+        if not mask.any():
+            return pd.Series([None] * len(vecs), dtype=object)
+        M = np.vstack(vecs[mask].to_numpy()).astype(np.float64)  # (n, dim)
+        S = (M @ P.T) > 0  # (n, B*r)
+        packed = (
+            S.reshape(len(M), n_bands, rows_per_band).astype(np.int64) * weights
+        ).sum(axis=2)
+        it = iter(packed)
+        return pd.Series(
+            [next(it) if ok else None for ok in mask], dtype=object
+        )
+
+    return _bits(vec)
+
+
+def embedding_band_buckets(
     df: DataFrame,
-    min_cosine: float = 0.95,
-    n_planes: int = 16,
+    n_bands: int = 8,
+    rows_per_band: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate candidate pairs: bucket-min star edges
-    within each hyperplane-LSH bucket, verified by exact cosine ≥ min_cosine
-    (mirrors the MinHash→exact-Jaccard verify design)."""
-    from daft_minhash_dedupe_spark.operators.edges import build_edges_from_buckets
+    """(band_key, node) bucket rows — the MinHash band-table shape, so the
+    dedup engine's edge/CC machinery applies unchanged to embeddings."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_bands * rows_per_band, seed)
+    bits = hyperplane_band_bits(F.col(vec_col), planes, n_bands, rows_per_band)
+    return df.select(
+        F.col(id_col).alias("node"), F.posexplode(bits).alias("band_idx", "band_val")
+    ).select(F.xxhash64("band_idx", "band_val").alias("band_key"), "node")
 
-    dim = len(df.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
-    buckets = df.select(
-        random_hyperplane_bucket(F.col(vec_col), planes).alias("band_key"),
-        F.col(id_col).alias("node"),
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.95,
+    n_bands: int = 8,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket_pairwise: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (u < v), exact-cosine verified.
+
+    Multi-band hyperplane LSH exactly like the MinHash pipeline: B bands of r
+    sign bits each; a pair is a candidate if ANY band bucket matches. A single
+    16-plane bucket has ~8% pair recall at cosine 0.9 (P(all bits agree) =
+    (1−θ/π)^16); 8×8 banding lifts that to 1−(1−p^8)^8 ≈ 0.94, and pairs at
+    cosine ≈ 1 are caught with near-certainty. Candidates come from pairwise
+    within-bucket edges (capped, star fallback) so verification cannot orphan
+    a true pair whose bucket min is dissimilar to both endpoints.
+    """
+    from daft_minhash_dedupe_spark.operators.edges import build_pair_edges_from_buckets
+
+    buckets = embedding_band_buckets(
+        df, n_bands, rows_per_band, seed, vec_col=vec_col, id_col=id_col
     )
-    edges = build_edges_from_buckets(buckets)
+    edges = build_pair_edges_from_buckets(buckets, max_bucket_pairwise)
     ea = df.select(F.col(id_col).alias("u"), F.col(vec_col).cast("array<double>").alias("_ea"))
     eb = df.select(F.col(id_col).alias("v"), F.col(vec_col).cast("array<double>").alias("_eb"))
     return (

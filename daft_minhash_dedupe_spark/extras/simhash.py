@@ -79,12 +79,13 @@ def simhash_candidates(
 ) -> DataFrame:
     """Near-dup candidate pairs: band-bucket join, then exact Hamming filter.
 
-    Bucket edges use the bucket-min star like MinHash; the final Hamming
-    check joins fingerprints back (codegen'd xor+bit_count)."""
-    from daft_minhash_dedupe_spark.operators.edges import build_edges_from_buckets
+    Bucket edges are pairwise-within-bucket (capped; star fallback for hot
+    buckets) so the Hamming verification cannot orphan a true pair whose
+    bucket min is dissimilar to both endpoints (the star-only failure mode)."""
+    from daft_minhash_dedupe_spark.operators.edges import build_pair_edges_from_buckets
 
     bands = simhash_bands(df, fp_col, node_col)
-    edges = build_edges_from_buckets(bands)
+    edges = build_pair_edges_from_buckets(bands)
     fa = df.select(F.col(node_col).alias("u"), F.col(fp_col).alias("_fa"))
     fb = df.select(F.col(node_col).alias("v"), F.col(fp_col).alias("_fb"))
     return (

@@ -6,6 +6,7 @@ from daft_minhash_dedupe_spark.operators.banding import (
 from daft_minhash_dedupe_spark.operators.edges import (
     build_edges,
     build_edges_from_buckets,
+    build_pair_edges_from_buckets,
     canonicalize,
     symmetrize,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "salted_bucket_min",
     "build_edges",
     "build_edges_from_buckets",
+    "build_pair_edges_from_buckets",
     "canonicalize",
     "symmetrize",
     "connected_components",

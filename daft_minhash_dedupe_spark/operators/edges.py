@@ -48,6 +48,40 @@ def build_edges_from_buckets(
     )
 
 
+def build_pair_edges_from_buckets(
+    buckets: DataFrame, max_bucket_pairwise: int = 64, num_salts: int = 16
+) -> DataFrame:
+    """Candidate edges for VERIFIED paths: pairwise within small buckets,
+    star edges for hot buckets.
+
+    Star edges alone lose recall under downstream verification: when a
+    bucket's min node is sub-threshold against two genuinely-similar members,
+    BOTH star edges fail the verify filter and the true pair disconnects
+    (unless another band rescues it). Full within-bucket pairs fix that
+    exactly, at O(s²) per bucket — affordable for the overwhelming majority
+    of buckets (near-dup buckets are small by construction) and capped at
+    ``max_bucket_pairwise``: bigger buckets (boilerplate clusters whose
+    members are near-identical anyway, so min-vs-member verification is
+    representative) fall back to skew-safe star edges.
+
+    Output is canonical: u < v always (pairwise via self-join inequality,
+    star via u = bucket min).
+    """
+    sizes = buckets.groupBy("band_key").agg(F.count("*").alias("_n"))
+    with_n = buckets.join(sizes, "band_key")
+    small = with_n.where(F.col("_n") <= max_bucket_pairwise)
+    a = small.select("band_key", F.col("node").alias("u"))
+    b = small.select("band_key", F.col("node").alias("v"))
+    pairwise = (
+        a.join(b, "band_key")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+    )
+    large = with_n.where(F.col("_n") > max_bucket_pairwise).select("band_key", "node")
+    star = build_edges_from_buckets(large, num_salts=num_salts)
+    return pairwise.unionByName(star).distinct()
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected view: emit both (u,v) and (v,u) (reference :370-377)."""
     return edges.select("u", "v").unionByName(

@@ -6,8 +6,16 @@ candidate edge against the TRUE Jaccard similarity of the two documents'
 distinct shingle-hash sets and keeps only pairs >= threshold.
 
 Pure Catalyst: ``array_intersect`` / ``array_union`` on the already-computed
-``array<bigint>`` shingle-hash columns (SURVEY §4 item 5). Verification can
-only REMOVE false-positive edges, so planted-duplicate recall is unaffected.
+``array<bigint>`` shingle-hash columns (SURVEY §4 item 5).
+
+RECALL CAVEAT (star edges): verification only removes edges, but removing a
+STAR edge can disconnect a true pair — if a bucket's min node is
+sub-threshold against two genuinely-duplicate members, both their star edges
+drop and the pair stays connected only if another band rescues it. Feed this
+filter pairwise-within-bucket candidates
+(``edges.build_pair_edges_from_buckets``, the pipeline's verified path) for
+exact recall on small buckets; with star edges it trades a small transitive-
+recall loss for precision.
 """
 
 from __future__ import annotations

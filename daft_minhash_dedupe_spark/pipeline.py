@@ -33,7 +33,10 @@ from daft_minhash_dedupe_spark.functions.normalize import (
 from daft_minhash_dedupe_spark.io import StageCheckpointer
 from daft_minhash_dedupe_spark.operators.banding import lsh_band_buckets
 from daft_minhash_dedupe_spark.operators.components import connected_components
-from daft_minhash_dedupe_spark.operators.edges import build_edges_from_buckets
+from daft_minhash_dedupe_spark.operators.edges import (
+    build_edges_from_buckets,
+    build_pair_edges_from_buckets,
+)
 from daft_minhash_dedupe_spark.operators.merge import cluster_assignments, merge_results
 from daft_minhash_dedupe_spark.operators.verify import verify_pairs_exact_jaccard
 
@@ -119,11 +122,19 @@ class MinHashDedupePipeline:
 
     def candidate_edges(self, buckets: DataFrame, signatures: DataFrame) -> DataFrame:
         c = self.cfg
-        edges = build_edges_from_buckets(buckets, num_salts=c.num_salts)
         if c.verify_pairs:
+            # pairwise within-bucket candidates so verification can't orphan
+            # a true pair via a dropped star edge (see operators/verify.py)
+            edges = build_pair_edges_from_buckets(
+                buckets.select("band_key", "node"),
+                max_bucket_pairwise=c.pairwise_cap,
+                num_salts=c.num_salts,
+            )
             edges = verify_pairs_exact_jaccard(
                 edges, signatures, c.threshold, node_col="node_id", shingle_col="shingles"
             )
+        else:
+            edges = build_edges_from_buckets(buckets, num_salts=c.num_salts)
         return edges
 
     # -- orchestration -----------------------------------------------------

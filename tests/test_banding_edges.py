@@ -84,6 +84,33 @@ def test_build_edges_from_buckets_matches_reference_shape(spark):
     assert pairs == {(1, 2), (1, 3), (4, 5)}  # singleton bucket → no edges
 
 
+def test_build_pair_edges_small_buckets_pairwise(spark):
+    from daft_minhash_dedupe_spark.operators.edges import build_pair_edges_from_buckets
+
+    rows = [(100, 3), (100, 1), (100, 2), (200, 5), (200, 4), (300, 7)]
+    df = spark.createDataFrame(rows, "band_key long, node long")
+    pairs = {(r["u"], r["v"]) for r in build_pair_edges_from_buckets(df).collect()}
+    # full within-bucket pairs, canonical u < v; singleton bucket → no edges
+    assert pairs == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def test_build_pair_edges_hot_bucket_falls_back_to_star(spark):
+    from daft_minhash_dedupe_spark.operators.edges import build_pair_edges_from_buckets
+
+    rows = [(100, n) for n in range(10, 20)] + [(200, 1), (200, 2)]
+    df = spark.createDataFrame(rows, "band_key long, node long")
+    pairs = {
+        (r["u"], r["v"])
+        for r in build_pair_edges_from_buckets(df, max_bucket_pairwise=4).collect()
+    }
+    # bucket 100 (10 members > cap 4) → star edges to min only
+    assert {(10, v) for v in range(11, 20)}.issubset(pairs)
+    assert (11, 12) not in pairs
+    # bucket 200 (2 members ≤ cap) → pairwise
+    assert (1, 2) in pairs
+    assert len(pairs) == 10
+
+
 def test_singleton_buckets_produce_no_edges(spark):
     grouped = spark.createDataFrame([([7],), ([9],)], "nodes array<bigint>")
     assert build_edges(grouped).count() == 0

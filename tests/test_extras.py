@@ -181,6 +181,70 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_near_dup_planted_recall(spark):
+    """Multi-band LSH recall on planted near-dups (the single-16-plane design
+    had ~8% pair recall at cosine 0.9 — VERDICT r1 scale flaw)."""
+    rng = np.random.RandomState(7)
+    n, dim = 120, 32
+    base = rng.randn(n, dim)
+    planted = []  # (u, v) with cosine ≥ ~0.95
+    rows = [(i, base[i]) for i in range(n)]
+    for i in range(40):
+        noisy = base[i] + 0.22 * rng.randn(dim)  # cos ≈ 0.96-0.99
+        cos = float(base[i] @ noisy / (np.linalg.norm(base[i]) * np.linalg.norm(noisy)))
+        if cos >= 0.93:
+            planted.append((i, n + i))
+            rows.append((n + i, noisy))
+    assert len(planted) >= 30
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["u"], r["v"])
+        for r in embedding_near_dup_pairs(
+            df, min_cosine=0.9, n_bands=8, rows_per_band=8
+        ).collect()
+    }
+    found = sum(1 for p in planted if p in got)
+    recall = found / len(planted)
+    assert recall >= 0.95, f"planted-pair recall {recall}"
+    # precision guard: every returned pair truly has cosine ≥ 0.9
+    vecs = {i: v for i, v in rows}
+    for u, v in got:
+        c = float(
+            np.dot(vecs[u], vecs[v])
+            / (np.linalg.norm(vecs[u]) * np.linalg.norm(vecs[v]))
+        )
+        assert c >= 0.9 - 1e-9
+
+
+def test_hyperplane_band_bits_expr_matmul_parity(spark):
+    """The Catalyst expression path and the pandas-UDF matmul path must
+    produce identical band bits (same buckets either way)."""
+    from daft_minhash_dedupe_spark.extras import embedding_ann as ea
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(50, 16)
+    df = _emb_df(spark, vecs)
+    planes = ea.random_hyperplanes(16, 16, seed=5)  # 4 bands × 4 bits
+    expr = df.select(
+        "vec_id", ea.hyperplane_band_bits(F.col("embedding"), planes, 4, 4).alias("bits")
+    ).collect()
+    old = ea._EXPR_PATH_MAX_CELLS
+    ea._EXPR_PATH_MAX_CELLS = 0  # force the matmul path
+    try:
+        mm = df.select(
+            "vec_id",
+            ea.hyperplane_band_bits(F.col("embedding"), planes, 4, 4).alias("bits"),
+        ).collect()
+    finally:
+        ea._EXPR_PATH_MAX_CELLS = old
+    assert {r["vec_id"]: list(r["bits"]) for r in expr} == {
+        r["vec_id"]: list(r["bits"]) for r in mm
+    }
+
+
 # -- multimodal plumbing -----------------------------------------------------
 
 

@@ -21,26 +21,71 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# cap the (shingles × 64) bit matrix per chunk at ~64 MB (same chunked-batch
+# discipline as the minhash kernel, functions/minhash.py:_CHUNK_CELLS)
+_MAX_SHINGLES_PER_CHUNK = 1_000_000
+
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+_BIT_WEIGHTS = np.uint64(1) << _BIT_IDX
+
+
+def _simhash_flat(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Batched SimHash over a flattened shingle-hash array.
+
+    values: int64 hashes for the whole batch; offsets: int64[n+1] row
+    boundaries. One bit-unpack + ``np.add.reduceat`` segmented sum per chunk —
+    no per-row Python (the flatten+reduceat pattern proven in
+    functions/minhash.py:_min_signatures_flat). Empty rows → 0.
+    """
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.int64)
+    lens = np.diff(offsets)
+    empty = lens == 0
+    u = values.view(np.uint64)
+    row = 0
+    while row < n:
+        end = row + 1
+        cells = int(lens[row])
+        while end < n and cells + lens[end] <= _MAX_SHINGLES_PER_CHUNK:
+            cells += int(lens[end])
+            end += 1
+        lo, hi = int(offsets[row]), int(offsets[end])
+        if hi > lo:
+            bits = ((u[lo:hi, None] >> _BIT_IDX) & np.uint64(1)).astype(np.int64)
+            ne = ~empty[row:end]
+            starts = (offsets[row:end][ne] - lo).astype(np.int64)
+            sums = np.add.reduceat(bits, starts, axis=0)  # (rows, 64)
+            votes = 2 * sums - lens[row:end][ne, None]
+            packed = ((votes > 0).astype(np.uint64) * _BIT_WEIGHTS).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[row:end][ne] = packed.view(np.int64)
+        row = end
+    return out
+
+
 def simhash64(col: Column) -> Column:
     """64-bit SimHash fingerprint from an ``array<bigint>`` shingle-hash
-    column (Arrow-batched pandas UDF; numpy bit-unpack + sum per batch)."""
+    column (Arrow-batched pandas UDF; whole-batch numpy — flatten, one
+    bit-unpack, segmented majority vote via ``np.add.reduceat``)."""
 
     @F.pandas_udf(T.LongType())
     def _simhash(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
-                out[i] = 0
-                continue
-            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            # bits (n_shingles, 64): 0/1 per bit position
-            bits = (arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(arr)  # ±1 votes (signed!)
-            fp = np.uint64(0)
-            for j in np.nonzero(votes > 0)[0]:
-                fp |= np.uint64(1) << np.uint64(j)
-            out[i] = fp.astype(np.int64) if fp < (1 << 63) else np.int64(fp - (1 << 64))
-        return pd.Series(out)
+        n = len(hashes)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+        )
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        if offsets[-1] > 0:
+            values = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
+            )
+        else:
+            values = np.empty(0, dtype=np.int64)
+        return pd.Series(_simhash_flat(values, offsets))
 
     return _simhash(col)
 

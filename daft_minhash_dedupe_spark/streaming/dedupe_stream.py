@@ -23,13 +23,15 @@ def streaming_exact_dedupe(
 ) -> DataFrame:
     """Drop re-crawled exact duplicates within the watermark horizon.
 
-    State is keyed by the 128-bit content digest only (not the full text) —
-    bounded by ``watermark`` so state store size is O(docs per horizon), the
-    standard bounded-state streaming dedup."""
+    State is keyed by the 128-bit content digest only (not the full text) and
+    evicted once the watermark passes a digest's last-seen event time
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+) — plain
+    ``dropDuplicates(['_digest'])`` would never evict (the subset lacks the
+    event-time column), growing state unboundedly on an endless crawl."""
     return (
         stream.withColumn("_digest", content_digest(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["_digest"])
+        .dropDuplicatesWithinWatermark(["_digest"])
         .drop("_digest")
     )
 

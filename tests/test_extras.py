@@ -98,6 +98,38 @@ def test_simhash_near_dup_low_hamming(spark):
     assert cands == {(0, 1)}
 
 
+def _naive_simhash64(hs):
+    """Independent per-bit majority-vote reference (two's-complement int64)."""
+    if not hs:
+        return 0
+    fp = 0
+    for j in range(64):
+        c = sum(((h & 0xFFFFFFFFFFFFFFFF) >> j) & 1 for h in hs)
+        if 2 * c - len(hs) > 0:
+            fp |= 1 << j
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def test_simhash64_bit_exact_vs_naive(spark):
+    rng = np.random.RandomState(13)
+    rows = [
+        [],
+        [int(x) for x in rng.randint(-(2**63), 2**63 - 1, size=7, dtype=np.int64)],
+        [int(x) for x in rng.randint(-(2**63), 2**63 - 1, size=1, dtype=np.int64)],
+        [int(x) for x in rng.randint(-(2**63), 2**63 - 1, size=200, dtype=np.int64)],
+        [-1, -1, 5],
+    ]
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)], "doc_id long, hs array<bigint>"
+    )
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", simhash64(F.col("hs")).alias("fp")).collect()
+    }
+    for i, r in enumerate(rows):
+        assert got[i] == _naive_simhash64(r), f"row {i}"
+
+
 def test_hamming_distance_expr(spark):
     df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
     assert df.select(hamming_distance(F.col("a"), F.col("b")).alias("d")).first()["d"] == 2

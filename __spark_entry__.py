@@ -267,6 +267,26 @@ def _q_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_pairs(docs, window_tokens=20, max_posting=None).select("u", "v")
 
 
+def _q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-HTML ingest path: synthesize an HTML page per document (title +
+    body paragraph + a script that must be dropped), then the reference-parity
+    block extraction + explode with block_id = id || '-' || idx. Document text
+    is HTML-safe at every sf (no <>& chars), so the oracle can predict the
+    exact block list: title at idx 0, paragraph at idx 1."""
+    from daft_minhash_dedupe_spark.functions.html import explode_blocks
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x=1;</script></head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("content_raw"))
+    return explode_blocks(pages, id_col="doc_id").select("block_id", "block_text")
+
+
 def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
@@ -436,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "events_hourly": _q_events_hourly,
         "substring_dup_pairs": _q_substring_dups,
+        "html_blocks": _q_html_blocks,
         "pricing_rollup": _q_pricing_rollup,
         "status_pivot": _q_status_pivot,
         "user_sessions": _q_user_sessions,
@@ -591,6 +612,16 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT win, min(doc_id) AS u FROM w GROUP BY win)
             SELECT DISTINCT g.u AS u, w.doc_id AS v
             FROM w JOIN g USING (win) WHERE w.doc_id <> g.u
+        """,
+        "html_blocks": """
+            SELECT CAST(doc_id AS VARCHAR) || '-0' AS block_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS block_text
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR) || '-1' AS block_id,
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS block_text
+            FROM documents
+            WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
         """,
         "pricing_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,

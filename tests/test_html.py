@@ -3,10 +3,17 @@
 from pyspark.sql import functions as F
 
 from daft_minhash_dedupe_spark.functions.html import (
+    explode_blocks,
+    extract_blocks,
     html_to_text,
     lenient_utf8_decode,
     remove_http_headers,
 )
+
+
+def _blocks(spark, html):
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(extract_blocks(F.col("html")).alias("b")).first()["b"]
 
 
 def test_remove_http_headers(spark):
@@ -29,6 +36,81 @@ def test_lenient_utf8_decode(spark):
     assert got[1] == "café"
     assert "bad" in got[2] and "�" in got[2]
     assert got[3] is None
+
+
+def test_extract_blocks_basic(spark):
+    # reference pin (tests/test_minhash_dedupe_unit.py:73-97): exactly 2
+    # blocks; "Hello world ." tokenization; noscript dropped
+    html = """<html><head><style>.x{color:red}</style><script>var a=1</script></head>
+    <body>
+    <h1>Title</h1>
+    <p>Hello <b>world</b>.</p>
+    <noscript>ignore me</noscript>
+    </body></html>"""
+    blocks = _blocks(spark, html)
+    assert len(blocks) == 2
+    assert "Title" in blocks
+    assert "Hello world ." in blocks
+    assert all("ignore me" not in b for b in blocks)
+
+
+def test_extract_blocks_more_tags(spark):
+    # reference pin (tests:101-116): caption extracted; no empty blocks;
+    # void-element selectors (img[alt], meta) contribute nothing
+    html = (
+        '<html><head>'
+        '<meta name="description" content="desc">'
+        '<meta property="og:title" content="ogt">'
+        '<meta property="og:description" content="ogd">'
+        '</head><body>'
+        '<img alt="pic" />'
+        '<figure><figcaption>caption</figcaption></figure>'
+        '</body></html>'
+    )
+    blocks = _blocks(spark, html)
+    assert any("caption" in b for b in blocks)
+    assert all(len(b) > 0 for b in blocks)
+
+
+def test_extract_blocks_strips_script_style_noscript(spark):
+    # reference pin (tests:119-127)
+    html = (
+        '<html><head><style>.x{color:red}</style><script>var a=1;</script></head>'
+        '<body><noscript>nope</noscript><p>ok</p></body></html>'
+    )
+    blocks = _blocks(spark, html)
+    assert any("ok" in b for b in blocks)
+    assert all("nope" not in b for b in blocks)
+
+
+def test_extract_blocks_nested_and_table(spark):
+    # nested selector matches emit both texts (tree.css semantics);
+    # th/td match only inside a table
+    html = (
+        '<div>outer <p>inner</p></div>'
+        '<table><tr><th>H</th><td>C</td></tr></table>'
+    )
+    blocks = _blocks(spark, html)
+    assert "outer inner" in blocks and "inner" in blocks
+    assert "H" in blocks and "C" in blocks
+
+
+def test_extract_blocks_unclosed_and_entities(spark):
+    blocks = _blocks(spark, "<p>a &amp; b<p>second")
+    assert "a & b" in blocks and "second" in blocks
+    assert _blocks(spark, None if False else "") == []
+
+
+def test_explode_blocks_ids(spark):
+    df = spark.createDataFrame(
+        [(7, "<h1>A</h1><p>B</p>"), (9, "<p></p>")],
+        "record_id long, content_raw string",
+    )
+    rows = {
+        (r["block_id"], r["block_text"])
+        for r in explode_blocks(df, id_col="record_id").collect()
+    }
+    assert rows == {("7-0", "A"), ("7-1", "B")}
 
 
 def test_html_to_text(spark):

@@ -135,9 +135,15 @@ def _q_minhash_dedupe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar rows (doc_id, perm_idx, min_hash): one row per signature slot
-    (no SQL oracle possible — Spark-seeded xxhash64 — but rows+schema check)."""
+    (no SQL oracle possible — Spark-seeded xxhash64 — but rows+schema check).
+
+    posexplode_OUTER: plain posexplode triggers InferFiltersFromGenerate,
+    whose size()>0 filter pushes below the projection and re-runs the
+    signature UDF on the un-materialized shingle expression (measured 24.5s
+    vs 1.1s at sf0.1). Signatures are never null/empty (empty docs get the
+    all-MAX_HASH array), so outer output is identical."""
     return _signatures_df(spark, sf_dir).select(
-        "doc_id", F.posexplode("min_hashes").alias("perm_idx", "min_hash")
+        "doc_id", F.posexplode_outer("min_hashes").alias("perm_idx", "min_hash")
     )
 
 

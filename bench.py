@@ -42,7 +42,9 @@ def _fresh_spark(n_cores: int, shuffle_partitions: int | None = None):
     )
 
 
-def run_flagship(spark, n_docs: int, seed: int = 42) -> tuple[float, int]:
+def run_flagship(
+    spark, n_docs: int, seed: int = 42, min_tokens: int = 80, max_tokens: int = 400
+) -> tuple[float, int]:
     """Dedup the deterministic synthetic web corpus; returns (sec, rows_in).
 
     The corpus is generated Spark-side (sources/synthetic_spark.py) and
@@ -51,7 +53,9 @@ def run_flagship(spark, n_docs: int, seed: int = 42) -> tuple[float, int]:
     from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline, prepare_web_pages
     from daft_minhash_dedupe_spark.sources.synthetic_spark import bench_corpus
 
-    df = prepare_web_pages(bench_corpus(spark, n_docs, seed)).localCheckpoint(eager=True)
+    df = prepare_web_pages(
+        bench_corpus(spark, n_docs, seed, min_tokens=min_tokens, max_tokens=max_tokens)
+    ).localCheckpoint(eager=True)
     rows_in = df.count()
     t0 = time.time()
     res = MinHashDedupePipeline(DedupeConfig()).run(df)
@@ -132,7 +136,36 @@ def main() -> None:
     ap.add_argument("--recall", action="store_true", help="recall/precision vs planted ground truth")
     ap.add_argument("--docs", type=int, default=int(os.environ.get("BENCH_DOCS", "20000")))
     ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument(
+        "--flagship-only",
+        action="store_true",
+        help="one flagship dedup run at --docs, nothing else (headline points)",
+    )
+    ap.add_argument("--min-tokens", type=int, default=80)
+    ap.add_argument("--max-tokens", type=int, default=400)
     args = ap.parse_args()
+
+    if args.flagship_only:
+        spark = _fresh_spark(CPUS)
+        sec, rows = run_flagship(
+            spark, args.docs, min_tokens=args.min_tokens, max_tokens=args.max_tokens
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship_dedup_seconds",
+                    "value": round(sec, 2),
+                    "unit": "sec",
+                    "rows": rows,
+                    "docs_per_sec": round(rows / sec, 1),
+                    "min_tokens": args.min_tokens,
+                    "max_tokens": args.max_tokens,
+                    "cores": CPUS,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     if args.recall:
         spark = _fresh_spark(CPUS)

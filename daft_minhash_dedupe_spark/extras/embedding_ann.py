@@ -248,9 +248,16 @@ def embedding_band_buckets(
         dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_bands * rows_per_band, seed)
     bits = hyperplane_band_bits(F.col(vec_col), planes, n_bands, rows_per_band)
-    return df.select(
-        F.col(id_col).alias("node"), F.posexplode(bits).alias("band_idx", "band_val")
-    ).select(F.xxhash64("band_idx", "band_val").alias("band_key"), "node")
+    # posexplode_outer + null filter: inner posexplode's inferred size()>0
+    # filter would re-run the band-bits UDF on the raw vector expression
+    return (
+        df.select(
+            F.col(id_col).alias("node"),
+            F.posexplode_outer(bits).alias("band_idx", "band_val"),
+        )
+        .where(F.col("band_val").isNotNull())
+        .select(F.xxhash64("band_idx", "band_val").alias("band_key"), "node")
+    )
 
 
 def embedding_near_dup_pairs(

@@ -187,8 +187,11 @@ def explode_blocks(
     drop empty/null blocks. Output: (id_col, index_col, content_col) — feed
     straight into MinHashDedupePipeline for block-granularity dedup."""
     ex = df.withColumn("_blocks", extract_blocks(F.col(html_col)))
+    # posexplode_OUTER + explicit empty filter: inner posexplode makes
+    # InferFiltersFromGenerate push a size()>0 filter below the projection,
+    # re-running the extraction UDF a second time on the raw HTML expression
     return (
-        ex.select(F.col(id_col), F.posexplode("_blocks").alias("_bidx", content_col))
+        ex.select(F.col(id_col), F.posexplode_outer("_blocks").alias("_bidx", content_col))
         .where(F.col(content_col).isNotNull() & (F.col(content_col) != ""))
         .withColumn(
             index_col,

@@ -41,8 +41,15 @@ def lsh_band_buckets(
         F.sequence(F.lit(0), F.lit(B - 1)),
         lambda i: F.slice(F.col(sig_col), i * R + 1, R),
     )
+    # posexplode_outer + null filter: inner posexplode's inferred size()>0
+    # filter pushes below the projection and re-evaluates the banded-slice
+    # expression (and, in ad-hoc plans, the signature UDF feeding it) twice
     return (
-        df.select(F.col(node_col).alias("node"), F.posexplode(bands).alias("band_idx", "band"))
+        df.select(
+            F.col(node_col).alias("node"),
+            F.posexplode_outer(bands).alias("band_idx", "band"),
+        )
+        .where(F.col("band").isNotNull())
         .select(
             "band_idx",
             band_key(F.col("band_idx"), F.col("band")).alias("band_key"),

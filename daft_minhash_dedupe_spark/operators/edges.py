@@ -67,6 +67,10 @@ def build_pair_edges_from_buckets(
     Output is canonical: u < v always (pairwise via self-join inequality,
     star via u = bucket min).
     """
+    # the bucket table is referenced three times below (sizes, small-bucket
+    # self-join, large-bucket star) — sever lineage once so an expensive
+    # upstream (e.g. the embedding matmul UDF + posexplode) isn't re-run 3×
+    buckets = buckets.localCheckpoint(eager=False)
     sizes = buckets.groupBy("band_key").agg(F.count("*").alias("_n"))
     with_n = buckets.join(sizes, "band_key")
     small = with_n.where(F.col("_n") <= max_bucket_pairwise)

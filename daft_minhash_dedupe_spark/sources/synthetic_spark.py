@@ -27,8 +27,15 @@ def bench_corpus(
     seed: int = 42,
     vocab: int = 2000,
     hot_size: int = 100,
+    min_tokens: int = 80,
+    max_tokens: int = 400,
 ) -> DataFrame:
-    """(url, warc_ts, html, text, lang) input_hint-shaped DataFrame."""
+    """(url, warc_ts, html, text, lang) input_hint-shaped DataFrame.
+
+    ``min_tokens``/``max_tokens`` bound document length: the defaults model
+    whole web pages; (5, 40) models the reference's Common-Crawl *text
+    blocks* (short title/paragraph fragments, its 5×10⁶-row headline shape).
+    """
     par = spark.sparkContext.defaultParallelism
     base = spark.range(0, n_rows, 1, par)
 
@@ -50,8 +57,12 @@ def bench_corpus(
         )
         .withColumn(
             "length",
-            F.when(is_hot, F.lit(120)).otherwise(
-                F.pmod(F.xxhash64(F.lit(seed), F.col("template"), F.lit("len")), F.lit(321)) + 80
+            F.when(is_hot, F.lit(min(120, max_tokens))).otherwise(
+                F.pmod(
+                    F.xxhash64(F.lit(seed), F.col("template"), F.lit("len")),
+                    F.lit(max_tokens - min_tokens + 1),
+                )
+                + min_tokens
             ),
         )
     )

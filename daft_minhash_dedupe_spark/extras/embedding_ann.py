@@ -294,3 +294,32 @@ def embedding_near_dup_pairs(
         .where(cosine_similarity(F.col("_ea"), F.col("_eb")) >= min_cosine)
         .select("u", "v")
     )
+
+
+def embedding_dedupe(
+    df: DataFrame,
+    min_cosine: float = 0.95,
+    n_bands: int = 8,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate CLUSTERS: verified near-dup pairs fed
+    through the dedup engine's connected components, min-id keep-rule.
+
+    Returns every input row with (id_col, component, is_survivor) — the same
+    contract as the MinHash flagship's cluster assignment, so a corpus can be
+    deduped on semantic similarity with one call."""
+    from daft_minhash_dedupe_spark.operators.components import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        df, min_cosine, n_bands, rows_per_band, seed, vec_col, id_col
+    )
+    assigns = connected_components(pairs, algorithm="hash_to_min")
+    return (
+        df.join(assigns.withColumnRenamed("u", id_col), id_col, "left")
+        .withColumn("component", F.coalesce("rep", F.col(id_col)))
+        .withColumn("is_survivor", F.col("component") == F.col(id_col))
+        .drop("rep")
+    )

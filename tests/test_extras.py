@@ -251,6 +251,22 @@ def test_embedding_near_dup_planted_recall(spark):
         assert c >= 0.9 - 1e-9
 
 
+def test_embedding_dedupe_clusters_and_survivors(spark):
+    from daft_minhash_dedupe_spark.extras.embedding_ann import embedding_dedupe
+
+    rng = np.random.RandomState(4)
+    a, b = rng.randn(12), rng.randn(12)
+    # {0,1,2} one near-dup cluster, {3,4} another, 5 unique
+    vecs = [a, a + 1e-3, a * 2.0, b, b * 0.5, -a]
+    out = {
+        r["vec_id"]: (r["component"], r["is_survivor"])
+        for r in embedding_dedupe(_emb_df(spark, vecs), min_cosine=0.99).collect()
+    }
+    assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
+    assert out[3] == (3, True) and out[4] == (3, False)
+    assert out[5] == (5, True)
+
+
 def test_hyperplane_band_bits_expr_matmul_parity(spark):
     """The Catalyst expression path and the pandas-UDF matmul path must
     produce identical band bits (same buckets either way)."""
@@ -347,6 +363,61 @@ def test_streaming_exact_dedupe(spark, tmp_path):
     out = spark.sql("select * from dedup_out").collect()
     texts = sorted(r["text"] for r in out)
     assert texts == ["other text", "same text"]
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch closed sessions emit
+    immediately; open sessions flush via event-time timeout once the
+    watermark passes last_event + gap."""
+    from daft_minhash_dedupe_spark.streaming import streaming_sessionize
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = "user_id bigint, ts timestamp"
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    import datetime as dt
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    # batch1: user 1 has a closed session (gap > 30min to the 02:00 event)
+    # and an open one; user 2 has one open session
+    _write("b1", [(1, t(0, 0)), (1, t(0, 10)), (1, t(2, 0)), (2, t(0, 0))])
+    # batch2: advances the watermark to 09:00 (1h delay)
+    _write("b2", [(3, t(10, 0))])
+    # batch3: watermark 09:00 now visible to the state store -> user 1's
+    # (timeout 02:30) and user 2's (00:30) open sessions fire
+    _write("b3", [(4, t(20, 0))])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = streaming_sessionize(stream, key_col="user_id", ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sessions_out").collect()
+    }
+    assert (1, t(0, 0), t(0, 10), 2) in rows  # closed within batch1
+    assert (1, t(2, 0), t(2, 0), 1) in rows  # flushed by timeout
+    assert (2, t(0, 0), t(0, 0), 1) in rows  # flushed by timeout
+    # user 4's session (timeout 20:30) is past every watermark -> still open
+    assert all(u != 4 for u, *_ in rows)
 
 
 # -- substring dedupe ----------------------------------------------------------

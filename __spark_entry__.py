@@ -293,6 +293,58 @@ def _q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_blocks(pages, id_col="doc_id").select("block_id", "block_text")
 
 
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized multimodal table: document bytes as opaque payloads, a
+    third each prefixed with JPEG / PNG magic numbers (testdata has no real
+    media; the binary plumbing is what's under test)."""
+    docs = _docs(spark, sf_dir)
+    raw = F.encode("text", "utf-8")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(bytes([0xFF, 0xD8, 0xFF, 0xE0])), raw))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit(bytes([0x89, 0x50, 0x4E, 0x47])), raw))
+        .otherwise(raw)
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+    )
+
+
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free metadata over binary media columns: byte length + magic-
+    number MIME sniffing (pure Catalyst on binary)."""
+    from daft_minhash_dedupe_spark.extras.multimodal import attach_media_metadata
+
+    out = attach_media_metadata(_media_table(spark, sf_dir))
+    return out.select(
+        "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"), "sniffed_mime"
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (deterministic stub decoder — byte-
+    histogram features). Emitted as integer bin-0 counts so the row is
+    oracle-checkable: payload is raw ASCII text, so hist[0] = #chars in
+    {space,h,p,x} (the ord%8==0 characters present in the corpus)."""
+    from daft_minhash_dedupe_spark.extras.multimodal import extract_media_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_media_features(media, n_features=8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1) * F.col("n_bytes"))
+        .cast("bigint")
+        .alias("bin0_count"),
+    )
+
+
 def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
@@ -331,6 +383,18 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min(F.unix_timestamp("ts")).alias("start_epoch"),
     )
+
+
+def _q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation gate: keep documents whose composite quality
+    score (length saturation × low punctuation × lexical diversity) clears
+    0.5 — the standard webtext quality filter, fully Catalyst."""
+    from daft_minhash_dedupe_spark.extras.text_analysis import quality_score
+
+    out = _docs(spark, sf_dir).select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    return out.where(F.col("quality") >= 0.5)
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,9 +527,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "substring_dup_pairs": _q_substring_dups,
         "html_blocks": _q_html_blocks,
+        "media_metadata": _q_media_metadata,
+        "media_features": _q_media_features,
         "pricing_rollup": _q_pricing_rollup,
         "status_pivot": _q_status_pivot,
         "user_sessions": _q_user_sessions,
+        "curation_filter": _q_curation_filter,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "simhash_fingerprints": _q_simhash,
@@ -565,6 +632,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_exactdup_violations
             FROM documents
         """,
+        "curation_filter": f"""
+            WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+            q AS (
+              SELECT doc_id,
+                round(least(len(toks) / 20.0, 1.0)
+                  * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                           ELSE (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))
+                                / CAST(length(text) AS DOUBLE) END)
+                  * (CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END), 6) AS quality
+              FROM t)
+            SELECT doc_id, quality FROM q WHERE quality >= 0.5
+        """,
         "lang_id": f"""
             WITH t AS (SELECT doc_id, text,
                               list_transform({toks}, x -> lower(x)) AS toks
@@ -628,6 +708,21 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS block_text
             FROM documents
             WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
+        """,
+        "media_metadata": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 IN (0, 1) THEN strlen(text) + 4
+                        ELSE strlen(text) END AS n_bytes,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+                        WHEN doc_id % 3 = 1 THEN 'image/png'
+                        ELSE 'application/octet-stream' END AS sniffed_mime
+            FROM documents
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   strlen(text) AS n_bytes,
+                   length(regexp_replace(text, '[^ hpx]', '', 'g')) AS bin0_count
+            FROM documents
         """,
         "pricing_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -385,6 +385,39 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any verbatim 13-gram
+    with a 'benchmark' slice (doc_id < 25 stands in for the eval set).
+    Broadcast inverted-index join on 8-byte window hashes."""
+    from daft_minhash_dedupe_spark.extras.decontaminate import contamination_pairs
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") >= 25)
+    bench = docs.where(F.col("doc_id") < 25)
+    return contamination_pairs(corpus, bench, ngram=13).select(
+        "doc_id", "bench_id", "n_shared"
+    )
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition: duplicate 3-gram fraction."""
+    from daft_minhash_dedupe_spark.extras.text_analysis import (
+        duplicate_ngram_fraction_from_tokens,
+    )
+    from daft_minhash_dedupe_spark.functions.minhash import tokens
+
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("_tok", tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.round(duplicate_ngram_fraction_from_tokens(F.col("_tok"), 3), 6).alias(
+                "dup_3gram_frac"
+            ),
+        )
+    )
+
+
 def _q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation gate: keep documents whose composite quality
     score (length saturation × low punctuation × lexical diversity) clears
@@ -532,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": _q_pricing_rollup,
         "status_pivot": _q_status_pivot,
         "user_sessions": _q_user_sessions,
+        "contamination_pairs": _q_contamination,
+        "repetition_stats": _q_repetition_stats,
         "curation_filter": _q_curation_filter,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -631,6 +666,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_docs, count(*) AS n_assigned,
                    CAST(0 AS BIGINT) AS n_exactdup_violations
             FROM documents
+        """,
+        "contamination_pairs": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            w AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN []
+                     WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(toks) - 11),
+                          i -> array_to_string(toks[i:i+12], ' '))) END AS wins
+              FROM t),
+            p AS (SELECT doc_id, unnest(wins) AS win FROM w),
+            c AS (SELECT doc_id, win FROM p WHERE doc_id >= 25),
+            b AS (SELECT doc_id AS bench_id, win FROM p WHERE doc_id < 25)
+            SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+            FROM c JOIN b USING (win)
+            GROUP BY 1, 2
+        """,
+        "repetition_stats": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            w AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) < 3 THEN []
+                     ELSE list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' ')) END AS wins
+              FROM t)
+            SELECT doc_id,
+                   round(CASE WHEN len(wins) = 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(wins)) / CAST(len(wins) AS DOUBLE)
+                         END, 6) AS dup_3gram_frac
+            FROM w
         """,
         "curation_filter": f"""
             WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),

@@ -68,6 +68,32 @@ def distinct_token_ratio(col: Column) -> Column:
     )
 
 
+def duplicate_ngram_fraction(col: Column, n: int = 3) -> Column:
+    """Fraction of within-document n-gram occurrences that are repeats
+    (Gopher-style repetition gate, Rae et al. 2021): 1 − distinct/total
+    token n-grams; 0.0 when the document has fewer than n tokens.
+
+    Pure Catalyst: per-window xxhash64 over bound token references (window
+    identity ↔ hash identity modulo 64-bit collisions — no string n-gram
+    allocation). Convenience form — hot paths should materialize the token
+    array once and call ``duplicate_ngram_fraction_from_tokens`` (Catalyst
+    does not CSE inside transform lambdas, so an inline token split would be
+    re-evaluated per window)."""
+    return duplicate_ngram_fraction_from_tokens(tokens(col), n)
+
+
+def duplicate_ngram_fraction_from_tokens(toks: Column, n: int = 3) -> Column:
+    """``duplicate_ngram_fraction`` over an already-bound token-array column."""
+    nwin = F.size(toks) - (n - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(nwin, F.lit(1))),
+        lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(nwin <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(wins)) / nwin
+    )
+
+
 def quality_score(col: Column) -> Column:
     """Composite heuristic quality score in [0,1] — the usual webtext gates:
     reasonable length, low punctuation density, some lexical diversity."""

@@ -293,6 +293,48 @@ def test_hyperplane_band_bits_expr_matmul_parity(spark):
     }
 
 
+def test_contamination_and_decontaminate(spark):
+    from daft_minhash_dedupe_spark.extras.decontaminate import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    bench = _docs(spark, ["one two three four five"])
+    corpus = spark.createDataFrame(
+        [
+            (10, "x one two three four five y"),  # contains the bench 5-gram
+            (11, "totally unrelated words here now"),
+            (12, "one two three different four five"),  # no shared 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_id"], r["bench_id"], r["n_shared"])
+        for r in contamination_pairs(corpus, bench, ngram=5).collect()
+    }
+    assert pairs == {(10, 0, 1)}
+    kept = {r["doc_id"] for r in decontaminate(corpus, bench, ngram=5).collect()}
+    assert kept == {11, 12}
+
+
+def test_duplicate_ngram_fraction(spark):
+    from daft_minhash_dedupe_spark.extras.text_analysis import duplicate_ngram_fraction
+
+    rows = [
+        (0, "a b c a b c a b"),  # 3-grams: abc bca cab abc bca cab -> 3/6 dup
+        (1, "a b"),  # fewer than 3 tokens -> 0.0
+        (2, "w x y z"),  # 2 distinct 3-grams of 2 -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: round(r["f"], 6)
+        for r in df.select(
+            "doc_id", duplicate_ngram_fraction(F.col("text"), 3).alias("f")
+        ).collect()
+    }
+    assert got == {0: 0.5, 1: 0.0, 2: 0.0}
+
+
 # -- multimodal plumbing -----------------------------------------------------
 
 

@@ -418,6 +418,25 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's latest at-or-before
+    purchase (union + one window per key — no range join)."""
+    from daft_minhash_dedupe_spark.extras.temporal import asof_join
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.unix_timestamp("ts").alias("purchase_epoch")
+    )
+    out = asof_join(clicks, purchases, key="user_id", ts="ts", value_cols=["purchase_epoch"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.col("purchase_epoch_asof").alias("purchase_epoch"),
+    )
+
+
 def _q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation gate: keep documents whose composite quality
     score (length saturation × low punctuation × lexical diversity) clears
@@ -565,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": _q_pricing_rollup,
         "status_pivot": _q_status_pivot,
         "user_sessions": _q_user_sessions,
+        "asof_purchase": _q_asof_purchase,
         "contamination_pairs": _q_contamination,
         "repetition_stats": _q_repetition_stats,
         "curation_filter": _q_curation_filter,
@@ -666,6 +686,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_docs, count(*) AS n_assigned,
                    CAST(0 AS BIGINT) AS n_exactdup_violations
             FROM documents
+        """,
+        "asof_purchase": """
+            SELECT l.event_id, l.user_id,
+                   CAST(floor(epoch(l.ts)) AS BIGINT) AS click_epoch,
+                   CAST(floor(epoch(r.ts)) AS BIGINT) AS purchase_epoch
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "contamination_pairs": f"""
             WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),

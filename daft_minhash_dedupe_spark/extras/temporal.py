@@ -1,0 +1,63 @@
+"""Temporal joins Spark lacks as built-ins, composed from shuffle-once
+primitives.
+
+``asof_join``: for each left row, the most recent right row with
+right.ts <= left.ts and equal key — the kdb/pandas ``merge_asof`` / DuckDB
+``ASOF JOIN`` semantics. The naive formulation is a range join (quadratic
+per key); this implementation is the union+window trick: tag both sides,
+union, one window sorted by (ts, side) per key, and carry the last non-null
+right value forward — ONE shuffle on the key, linear work, no range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: left rows + ``value_cols`` from the latest right row
+    at-or-before each left row's ``ts`` (null when none exists).
+
+    Ties: right rows order before left rows at equal ``ts`` (inclusive
+    <= semantics); equal-ts right rows are ordered among themselves by
+    ``value_cols`` for determinism.
+    """
+    l_tag = left.select(
+        "*",
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    # align schemas: right side lacks the other left columns
+    for c in left.columns:
+        if c not in (key, ts):
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), *[F.col(f"_r_{c}").asc() for c in value_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("_side") == 1).drop(
+        "_side", *[f"_r_{c}" for c in value_cols]
+    )

@@ -293,6 +293,30 @@ def test_hyperplane_band_bits_expr_matmul_parity(spark):
     }
 
 
+def test_asof_join_semantics(spark):
+    from daft_minhash_dedupe_spark.extras.temporal import asof_join
+    import datetime as dt
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [(1, 100, t(5)), (2, 100, t(10)), (3, 100, t(2)), (4, 200, t(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, t(5), 50), (100, t(8), 80), (300, t(1), 10)],
+        "user_id long, ts timestamp, v long",
+    )
+    out = {
+        r["event_id"]: r["v_asof"]
+        for r in asof_join(left, right, key="user_id", ts="ts", value_cols=["v"]).collect()
+    }
+    # event 1 at :05 matches the :05 purchase (inclusive); event 2 at :10 the
+    # :08 one; event 3 at :02 predates all -> null; user 200 has none -> null
+    assert out == {1: 50, 2: 80, 3: None, 4: None}
+
+
 def test_contamination_and_decontaminate(spark):
     from daft_minhash_dedupe_spark.extras.decontaminate import (
         contamination_pairs,

@@ -7,6 +7,12 @@ right.ts <= left.ts and equal key — the kdb/pandas ``merge_asof`` / DuckDB
 per key); this implementation is the union+window trick: tag both sides,
 union, one window sorted by (ts, side) per key, and carry the last non-null
 right value forward — ONE shuffle on the key, linear work, no range join.
+
+Scale note: each key's rows sort within one task (inherent to per-key
+ordered semantics). A pathological hot key (one user with 10^8 events)
+serializes on that task — pre-split such keys by coarse time bucket and
+stitch boundaries, the standard mitigation; unnecessary for web-event key
+cardinalities.
 """
 
 from __future__ import annotations

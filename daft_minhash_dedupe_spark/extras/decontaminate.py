@@ -40,14 +40,14 @@ def contamination_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, bench_id, n_shared) for every corpus×benchmark pair sharing
+    """(id_col, bench_id, n_shared) for every corpus×benchmark pair sharing
     ≥ min_shared verbatim n-token windows (distinct windows; 64-bit hash
     collisions are the only approximation)."""
-    c = _window_postings(corpus, text_col, id_col, ngram, "doc_id")
+    c = _window_postings(corpus, text_col, id_col, ngram, id_col)
     b = _window_postings(benchmark, text_col, id_col, ngram, "bench_id")
     return (
         c.join(F.broadcast(b), "_wh")
-        .groupBy("doc_id", "bench_id")
+        .groupBy(id_col, "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )

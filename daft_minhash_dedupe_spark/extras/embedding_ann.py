@@ -210,7 +210,9 @@ def hyperplane_band_bits(
                 d = dot(emb, _vec_lit(list(planes[bi * rows_per_band + j])))
                 acc = acc + F.when(d > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
             bands.append(acc)
-        return F.array(*bands)
+        # NULL vectors yield NULL (not all-zero bands) — identical to the
+        # pandas path, so null rows never collect into one hot bucket
+        return F.when(vec.isNotNull(), F.array(*bands))
 
     P = planes.astype(np.float64)  # (B*r, dim)
     weights = (np.int64(1) << np.arange(rows_per_band, dtype=np.int64))
@@ -245,7 +247,13 @@ def embedding_band_buckets(
     """(band_key, node) bucket rows — the MinHash band-table shape, so the
     dedup engine's edge/CC machinery applies unchanged to embeddings."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        row = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        if row is None:  # empty/all-null input → no buckets
+            return df.select(
+                F.lit(None).cast("bigint").alias("band_key"),
+                F.col(id_col).alias("node"),
+            ).where(F.lit(False))
+        dim = len(row[0])
     planes = random_hyperplanes(dim, n_bands * rows_per_band, seed)
     bits = hyperplane_band_bits(F.col(vec_col), planes, n_bands, rows_per_band)
     # posexplode_outer + null filter: inner posexplode's inferred size()>0

@@ -51,10 +51,12 @@ def _simhash_flat(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
             end += 1
         lo, hi = int(offsets[row]), int(offsets[end])
         if hi > lo:
-            bits = ((u[lo:hi, None] >> _BIT_IDX) & np.uint64(1)).astype(np.int64)
+            # uint8 bit matrix (the 64 MB/chunk budget); reduceat accumulates
+            # into int64 so segments longer than 255 shingles can't overflow
+            bits = ((u[lo:hi, None] >> _BIT_IDX) & np.uint64(1)).astype(np.uint8)
             ne = ~empty[row:end]
             starts = (offsets[row:end][ne] - lo).astype(np.int64)
-            sums = np.add.reduceat(bits, starts, axis=0)  # (rows, 64)
+            sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # (rows, 64)
             votes = 2 * sums - lens[row:end][ne, None]
             packed = ((votes > 0).astype(np.uint64) * _BIT_WEIGHTS).sum(
                 axis=1, dtype=np.uint64

@@ -36,16 +36,24 @@ def asof_join(
     <= semantics); equal-ts right rows are ordered among themselves by
     ``value_cols`` for determinism.
     """
+    # carry the right row as ONE struct so all value_cols come from the SAME
+    # matched row — per-column last(ignorenulls) would stitch values from
+    # different right rows whenever the latest row holds a NULL
+    struct_type = (
+        "struct<" + ", ".join(
+            f"{c}: {right.schema[c].dataType.simpleString()}" for c in value_cols
+        ) + ">"
+    )
     l_tag = left.select(
         "*",
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(struct_type).alias("_rv"),
     )
     r_tag = right.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
     )
     # align schemas: right side lacks the other left columns
     for c in left.columns:
@@ -54,16 +62,12 @@ def asof_join(
     u = l_tag.unionByName(r_tag)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc(), *[F.col(f"_r_{c}").asc() for c in value_cols])
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_rv").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = u.select(
+    carried = u.select("*", F.last("_rv", ignorenulls=True).over(w).alias("_rv_asof"))
+    out = carried.where(F.col("_side") == 1).select(
         "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        *[F.col(f"_rv_asof.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
-    return carried.where(F.col("_side") == 1).drop(
-        "_side", *[f"_r_{c}" for c in value_cols]
-    )
+    return out.drop("_side", "_rv", "_rv_asof")

@@ -36,6 +36,8 @@ def bench_corpus(
     whole web pages; (5, 40) models the reference's Common-Crawl *text
     blocks* (short title/paragraph fragments, its 5×10⁶-row headline shape).
     """
+    if max_tokens < min_tokens:
+        raise ValueError(f"max_tokens {max_tokens} < min_tokens {min_tokens}")
     par = spark.sparkContext.defaultParallelism
     base = spark.range(0, n_rows, 1, par)
 
@@ -57,7 +59,7 @@ def bench_corpus(
         )
         .withColumn(
             "length",
-            F.when(is_hot, F.lit(min(120, max_tokens))).otherwise(
+            F.when(is_hot, F.lit(max(min(120, max_tokens), min_tokens))).otherwise(
                 F.pmod(
                     F.xxhash64(F.lit(seed), F.col("template"), F.lit("len")),
                     F.lit(max_tokens - min_tokens + 1),

@@ -13,8 +13,6 @@ diff/cumsum grouping), no per-event Python loop.
 
 from __future__ import annotations
 
-import datetime as dt
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -22,13 +20,27 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+_UNIT_SECONDS = {
+    "milli": 0.001, "sec": 1.0, "min": 60.0, "hour": 3600.0,
+    "day": 86400.0, "week": 604800.0,
+}
+
+
 def _parse_duration_seconds(s: str) -> float:
-    qty, unit = s.split()
-    mult = {
-        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
-    }[unit]
-    return float(qty) * mult
+    """Spark CalendarInterval-style duration strings: '30 minutes', '1 min',
+    '1 hour 30 minutes', '90 seconds', ..."""
+    parts = s.split()
+    if len(parts) % 2:
+        raise ValueError(f"cannot parse duration {s!r}")
+    total = 0.0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        for prefix, mult in _UNIT_SECONDS.items():
+            if unit.lower().startswith(prefix):
+                total += float(qty) * mult
+                break
+        else:
+            raise ValueError(f"unknown duration unit {unit!r} in {s!r}")
+    return total
 
 
 def streaming_sessionize(
@@ -44,6 +56,10 @@ def streaming_sessionize(
     evicted by event-time timeout at last + gap once the watermark passes.
     """
     gap_s = _parse_duration_seconds(gap)
+    # applyInPandasWithState hands the UDF tz-naive timestamps in the SESSION
+    # timezone; capture it at plan time so the timeout epoch is correct in
+    # non-UTC sessions
+    tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
     key_field = stream.schema[key_col]
 
     out_schema = T.StructType(
@@ -79,38 +95,45 @@ def streaming_sessionize(
             yield _out(key, [(start, last, n)])
             return
 
-        ts = pd.concat([p[ts_col] for p in pdfs]).sort_values().reset_index(drop=True)
+        ts = pd.concat([p[ts_col] for p in pdfs])
         prev = state.get if state.exists else None
-
-        # vectorized session split: new session where gap to previous event
-        # (or to the open session's last event) exceeds gap_s
-        gaps = ts.diff().dt.total_seconds()
-        new_flags = gaps > gap_s
+        sentinel = None
         if prev is not None:
-            new_flags.iloc[0] = (ts.iloc[0] - prev[1]).total_seconds() > gap_s
-        else:
-            new_flags.iloc[0] = True
+            # splice the open session's LAST event time into the series as a
+            # sentinel so gap splits see it: late events (within watermark)
+            # merge correctly and an event ≤ gap after prev.last continues
+            # the open session even if the batch's own diffs exceed the gap
+            sentinel = pd.Timestamp(prev[1])
+            ts = pd.concat([ts, pd.Series([sentinel])])
+        ts = ts.sort_values().reset_index(drop=True)
+
+        # vectorized session split: new session where the gap to the previous
+        # event exceeds gap_s
+        new_flags = ts.diff().dt.total_seconds() > gap_s
+        new_flags.iloc[0] = True
         sid = new_flags.cumsum()
         grouped = ts.groupby(sid).agg(["min", "max", "count"])
 
-        sessions = [
-            (row["min"].to_pydatetime(), row["max"].to_pydatetime(), int(row["count"]))
-            for _, row in grouped.iterrows()
-        ]
-        if prev is not None and not new_flags.iloc[0]:
-            # first batch-session continues the open one
-            s0 = sessions[0]
-            sessions[0] = (prev[0], s0[1], prev[2] + s0[2])
-        elif prev is not None:
-            sessions.insert(0, tuple(prev))
+        sessions = []
+        for _, row in grouped.iterrows():
+            start, end, n = row["min"].to_pydatetime(), row["max"].to_pydatetime(), int(row["count"])
+            if sentinel is not None and start <= sentinel <= end:
+                # this split contains the open session: fold it in (sentinel
+                # row itself is not an event — subtract it from the count)
+                prev_start = prev[0]
+                if hasattr(prev_start, "to_pydatetime"):
+                    prev_start = prev_start.to_pydatetime()
+                start = min(prev_start, start)
+                n = prev[2] + n - 1
+            sessions.append((start, end, n))
 
         open_start, open_last, open_n = sessions[-1]
         closed = sessions[:-1]
         state.update((open_start, open_last, open_n))
-        state.setTimeoutTimestamp(
-            int(open_last.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
-            + int(gap_s * 1000)
+        epoch_ms = int(
+            pd.Timestamp(open_last).tz_localize(tz).timestamp() * 1000
         )
+        state.setTimeoutTimestamp(epoch_ms + int(gap_s * 1000))
         if closed:
             yield _out(key, closed)
 

@@ -317,6 +317,50 @@ def test_asof_join_semantics(spark):
     assert out == {1: 50, 2: 80, 3: None, 4: None}
 
 
+def test_asof_join_null_in_latest_right_row(spark):
+    """The latest matched right row wins WHOLE — a NULL there must not fall
+    back to an older row's value (merge_asof/ASOF JOIN semantics)."""
+    from daft_minhash_dedupe_spark.extras.temporal import asof_join
+    import datetime as dt
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame([(1, 100, t(12))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, t(5), 50, 7), (100, t(10), None, 9)],
+        "user_id long, ts timestamp, a long, b long",
+    )
+    row = asof_join(left, right, key="user_id", ts="ts", value_cols=["a", "b"]).first()
+    assert row["a_asof"] is None and row["b_asof"] == 9
+
+
+def test_decontaminate_custom_id_col(spark):
+    from daft_minhash_dedupe_spark.extras.decontaminate import decontaminate
+
+    bench = spark.createDataFrame([(0, "one two three four five")], "rid long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "x one two three four five y"), (11, "unrelated words entirely here")],
+        "rid long, text string",
+    )
+    kept = {r["rid"] for r in decontaminate(corpus, bench, ngram=5, id_col="rid").collect()}
+    assert kept == {11}
+
+
+def test_embedding_band_buckets_null_vectors_excluded(spark):
+    """Expression path must bucket NULL vectors nowhere (parity with the
+    pandas path) — not into an all-zero hot bucket."""
+    from daft_minhash_dedupe_spark.extras.embedding_ann import embedding_band_buckets
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [0.5, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    buckets = embedding_band_buckets(df, n_bands=2, rows_per_band=2, dim=2)
+    nodes = {r["node"] for r in buckets.collect()}
+    assert nodes == {0, 2}
+
+
 def test_contamination_and_decontaminate(spark):
     from daft_minhash_dedupe_spark.extras.decontaminate import (
         contamination_pairs,
@@ -454,6 +498,9 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     # batch1: user 1 has a closed session (gap > 30min to the 02:00 event)
     # and an open one; user 2 has one open session
     _write("b1", [(1, t(0, 0)), (1, t(0, 10)), (1, t(2, 0)), (2, t(0, 0))])
+    # batch1b: a LATE event (within the 1h watermark) that extends user 1's
+    # open session backwards — must merge, not regress the session end
+    _write("b1b", [(1, t(1, 45))])
     # batch2: advances the watermark to 09:00 (1h delay)
     _write("b2", [(3, t(10, 0))])
     # batch3: watermark 09:00 now visible to the state store -> user 1's
@@ -480,7 +527,8 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
         for r in spark.sql("select * from sessions_out").collect()
     }
     assert (1, t(0, 0), t(0, 10), 2) in rows  # closed within batch1
-    assert (1, t(2, 0), t(2, 0), 1) in rows  # flushed by timeout
+    # the late 01:45 event merged into the open (02:00) session
+    assert (1, t(1, 45), t(2, 0), 2) in rows  # flushed by timeout
     assert (2, t(0, 0), t(0, 0), 1) in rows  # flushed by timeout
     # user 4's session (timeout 20:30) is past every watermark -> still open
     assert all(u != 4 for u, *_ in rows)

@@ -37,7 +37,9 @@ def _fresh_spark(n_cores: int, shuffle_partitions: int | None = None):
         master=f"local[{n_cores}]",
         app_name=f"bench_{n_cores}",
         extra_confs={
-            "spark.sql.shuffle.partitions": str(shuffle_partitions or max(2 * n_cores, 16)),
+            # initial (pre-AQE-coalesce) shuffle parallelism: plenty of splits
+            # for big inputs, AQE merges them away on small ones
+            "spark.sql.shuffle.partitions": str(shuffle_partitions or max(8 * n_cores, 64)),
         },
     )
 

@@ -26,7 +26,11 @@ DEFAULT_CONFS: dict[str, str] = {
     # bound each Arrow batch handed to the minhash kernel (memory ceiling)
     "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.shuffle.partitions": "64",
+    # generous INITIAL shuffle partitioning: AQE coalesces small shuffles
+    # down (so tiny runs don't pay tiny-task overhead) but cannot split a
+    # too-coarse initial count — 64 measured a 35% throughput loss vs 256 at
+    # 10^7 docs (27.9k → 37.7k docs/s, spill-bound CC/band shuffles)
+    "spark.sql.shuffle.partitions": "256",
     "spark.ui.enabled": "false",
 }
 

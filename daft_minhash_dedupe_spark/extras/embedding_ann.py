@@ -201,6 +201,7 @@ def hyperplane_band_bits(
     positive rescaling of the input vector.
     """
     assert planes.shape[0] == n_bands * rows_per_band
+    dim = planes.shape[1]
     if planes.size <= _EXPR_PATH_MAX_CELLS:
         emb = vec.cast("array<double>")
         bands = []
@@ -210,16 +211,19 @@ def hyperplane_band_bits(
                 d = dot(emb, _vec_lit(list(planes[bi * rows_per_band + j])))
                 acc = acc + F.when(d > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
             bands.append(acc)
-        # NULL vectors yield NULL (not all-zero bands) — identical to the
-        # pandas path, so null rows never collect into one hot bucket
-        return F.when(vec.isNotNull(), F.array(*bands))
+        # NULL or wrong-dimension vectors yield NULL (not all-zero bands) —
+        # identical to the pandas path, so malformed rows never collect into
+        # one xxhash64(band_idx, 0) hot bucket
+        return F.when(F.size(vec) == dim, F.array(*bands))
 
     P = planes.astype(np.float64)  # (B*r, dim)
     weights = (np.int64(1) << np.arange(rows_per_band, dtype=np.int64))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _bits(vecs: pd.Series) -> pd.Series:
-        mask = vecs.notna().to_numpy()
+        # wrong-dimension vectors → None, like the expression path (and so
+        # np.vstack can't raise on ragged input)
+        mask = vecs.map(lambda v: v is not None and len(v) == dim).to_numpy()
         if not mask.any():
             return pd.Series([None] * len(vecs), dtype=object)
         M = np.vstack(vecs[mask].to_numpy()).astype(np.float64)  # (n, dim)

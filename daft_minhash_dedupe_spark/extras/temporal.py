@@ -39,10 +39,10 @@ def asof_join(
     # carry the right row as ONE struct so all value_cols come from the SAME
     # matched row — per-column last(ignorenulls) would stitch values from
     # different right rows whenever the latest row holds a NULL
-    struct_type = (
-        "struct<" + ", ".join(
-            f"{c}: {right.schema[c].dataType.simpleString()}" for c in value_cols
-        ) + ">"
+    from pyspark.sql import types as T
+
+    struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
     )
     l_tag = left.select(
         "*",
@@ -68,6 +68,9 @@ def asof_join(
     carried = u.select("*", F.last("_rv", ignorenulls=True).over(w).alias("_rv_asof"))
     out = carried.where(F.col("_side") == 1).select(
         "*",
-        *[F.col(f"_rv_asof.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[
+            F.col("_rv_asof").getField(c).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
     )
     return out.drop("_side", "_rv", "_rv_asof")

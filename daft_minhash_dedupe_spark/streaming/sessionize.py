@@ -3,22 +3,26 @@
 logic Spark's built-in streaming aggregations can't express).
 
 A session is a maximal run of one key's events with inter-event gaps ≤
-``gap``. Open sessions live in the state store keyed by user; a session is
-emitted when (a) a later event for the same key arrives past the gap
-(closed within a batch), or (b) the event-time watermark passes
-last_event + gap (EventTimeTimeout — so state is bounded and sessions of
-departed users still flush). Per-batch work is vectorized pandas (sort +
-diff/cumsum grouping), no per-event Python loop.
+``gap``. ALL of a key's not-yet-final sessions live in the state store (as
+parallel arrays), and a session is emitted only once the event-time
+watermark passes ``session_end + gap`` — at that point no admissible late
+event (which must carry ts ≥ watermark) can extend or bridge it, so the
+emission is correct by watermark-construction: late events within the
+watermark always merge, never fragment. State per key is O(horizon / gap)
+sessions, evicted by EventTimeTimeout. Per-batch event collapse is
+vectorized pandas (sort + diff/cumsum); the merge with stored sessions is a
+sweep over that small session list.
 """
 
 from __future__ import annotations
+
+from zoneinfo import ZoneInfo
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
 
 _UNIT_SECONDS = {
     "milli": 0.001, "sec": 1.0, "min": 60.0, "hour": 3600.0,
@@ -30,7 +34,7 @@ def _parse_duration_seconds(s: str) -> float:
     """Spark CalendarInterval-style duration strings: '30 minutes', '1 min',
     '1 hour 30 minutes', '90 seconds', ..."""
     parts = s.split()
-    if len(parts) % 2:
+    if not parts or len(parts) % 2:
         raise ValueError(f"cannot parse duration {s!r}")
     total = 0.0
     for qty, unit in zip(parts[::2], parts[1::2]):
@@ -50,16 +54,22 @@ def streaming_sessionize(
     gap: str = "30 minutes",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """(key, session_start, session_end, n_events) stream of CLOSED sessions.
-
-    State per key: the one open session (start, last, n) — O(active keys),
-    evicted by event-time timeout at last + gap once the watermark passes.
-    """
+    """(key, session_start, session_end, n_events) stream of FINAL sessions
+    (append mode: each session is emitted exactly once, when the watermark
+    guarantees no admissible event can still touch it)."""
     gap_s = _parse_duration_seconds(gap)
     # applyInPandasWithState hands the UDF tz-naive timestamps in the SESSION
-    # timezone; capture it at plan time so the timeout epoch is correct in
-    # non-UTC sessions
+    # timezone; resolve it once so watermark/timeout epoch math is correct in
+    # non-UTC sessions. ZoneInfo + PEP495 fold handles DST-ambiguous times
+    # without raising (fold=0 ≈ the earlier instant — a ≤1h conservative skew
+    # twice a year).
     tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
+    try:
+        tzinfo = ZoneInfo(tz)
+    except Exception as exc:  # non-IANA ids like 'GMT+08:00'
+        raise ValueError(
+            f"streaming_sessionize needs an IANA session timezone, got {tz!r}"
+        ) from exc
     key_field = stream.schema[key_col]
 
     out_schema = T.StructType(
@@ -70,13 +80,19 @@ def streaming_sessionize(
             T.StructField("n_events", T.LongType()),
         ]
     )
+    # parallel arrays: every not-yet-final session of the key
     state_schema = T.StructType(
         [
-            T.StructField("start", T.TimestampType()),
-            T.StructField("last", T.TimestampType()),
-            T.StructField("n", T.LongType()),
+            T.StructField("starts", T.ArrayType(T.TimestampType())),
+            T.StructField("ends", T.ArrayType(T.TimestampType())),
+            T.StructField("ns", T.ArrayType(T.LongType())),
         ]
     )
+
+    def _epoch_ms(naive) -> int:
+        if isinstance(naive, pd.Timestamp):
+            naive = naive.to_pydatetime()
+        return int(naive.replace(tzinfo=tzinfo).timestamp() * 1000)
 
     def _out(key, sessions):
         return pd.DataFrame(
@@ -88,54 +104,64 @@ def streaming_sessionize(
             }
         )
 
-    def _fn(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            start, last, n = state.get
+    def _flush(key, sessions, state: GroupState):
+        """Emit sessions whose end+gap the watermark has passed; keep and
+        re-arm the rest."""
+        wm_ms = state.getCurrentWatermarkMs()
+        final = [s for s in sessions if _epoch_ms(s[1]) + gap_s * 1000 <= wm_ms]
+        live = [s for s in sessions if _epoch_ms(s[1]) + gap_s * 1000 > wm_ms]
+        if live:
+            state.update(
+                ([s[0] for s in live], [s[1] for s in live], [int(s[2]) for s in live])
+            )
+            state.setTimeoutTimestamp(
+                min(_epoch_ms(s[1]) for s in live) + int(gap_s * 1000)
+            )
+        else:
             state.remove()
-            yield _out(key, [(start, last, n)])
+        return final
+
+    def _fn(key, pdfs, state: GroupState):
+        def _stored():
+            if not state.exists:
+                return []
+            starts, ends, ns = state.get
+            return list(zip(starts, ends, ns))
+
+        if state.hasTimedOut:
+            final = _flush(key, _stored(), state)
+            if final:
+                yield _out(key, final)
             return
 
-        ts = pd.concat([p[ts_col] for p in pdfs])
-        prev = state.get if state.exists else None
-        sentinel = None
-        if prev is not None:
-            # splice the open session's LAST event time into the series as a
-            # sentinel so gap splits see it: late events (within watermark)
-            # merge correctly and an event ≤ gap after prev.last continues
-            # the open session even if the batch's own diffs exceed the gap
-            sentinel = pd.Timestamp(prev[1])
-            ts = pd.concat([ts, pd.Series([sentinel])])
-        ts = ts.sort_values().reset_index(drop=True)
-
-        # vectorized session split: new session where the gap to the previous
-        # event exceeds gap_s
+        ts = (
+            pd.concat([p[ts_col] for p in pdfs])
+            .sort_values()
+            .reset_index(drop=True)
+        )
+        # vectorized collapse of this batch's events into sessions
         new_flags = ts.diff().dt.total_seconds() > gap_s
         new_flags.iloc[0] = True
-        sid = new_flags.cumsum()
-        grouped = ts.groupby(sid).agg(["min", "max", "count"])
-
-        sessions = []
-        for _, row in grouped.iterrows():
-            start, end, n = row["min"].to_pydatetime(), row["max"].to_pydatetime(), int(row["count"])
-            if sentinel is not None and start <= sentinel <= end:
-                # this split contains the open session: fold it in (sentinel
-                # row itself is not an event — subtract it from the count)
-                prev_start = prev[0]
-                if hasattr(prev_start, "to_pydatetime"):
-                    prev_start = prev_start.to_pydatetime()
-                start = min(prev_start, start)
-                n = prev[2] + n - 1
-            sessions.append((start, end, n))
-
-        open_start, open_last, open_n = sessions[-1]
-        closed = sessions[:-1]
-        state.update((open_start, open_last, open_n))
-        epoch_ms = int(
-            pd.Timestamp(open_last).tz_localize(tz).timestamp() * 1000
-        )
-        state.setTimeoutTimestamp(epoch_ms + int(gap_s * 1000))
-        if closed:
-            yield _out(key, closed)
+        grouped = ts.groupby(new_flags.cumsum()).agg(["min", "max", "count"])
+        batch_sessions = [
+            (row["min"].to_pydatetime(), row["max"].to_pydatetime(), int(row["count"]))
+            for _, row in grouped.iterrows()
+        ]
+        # sweep-merge with the stored session list (both sorted, both small)
+        merged: list[tuple] = []
+        for s in sorted(_stored() + batch_sessions):
+            if merged and (s[0] - merged[-1][1]).total_seconds() <= gap_s:
+                prev = merged[-1]
+                merged[-1] = (
+                    min(prev[0], s[0]),
+                    max(prev[1], s[1]),
+                    prev[2] + s[2],
+                )
+            else:
+                merged.append(s)
+        final = _flush(key, merged, state)
+        if final:
+            yield _out(key, final)
 
     return (
         stream.withWatermark(ts_col, watermark)

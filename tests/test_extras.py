@@ -293,6 +293,52 @@ def test_hyperplane_band_bits_expr_matmul_parity(spark):
     }
 
 
+def test_streaming_sessionize_late_events_never_fragment(spark, tmp_path):
+    """Two late events arriving in separate batches, both older than the open
+    session, must merge into ONE session (emission waits for the watermark to
+    pass end+gap, so no admissible late event can split a session)."""
+    from daft_minhash_dedupe_spark.streaming import streaming_sessionize
+    import datetime as dt
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    src = tmp_path / "sess2_src"
+    src.mkdir()
+    schema = "user_id bigint, ts timestamp"
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+
+    _write("b1", [(1, t(2, 0))])          # open session; watermark -> 01:00
+    _write("b2", [(1, t(1, 15))])         # late (>= watermark 01:00)
+    _write("b3", [(1, t(1, 20))])         # later late event, bridges b2's
+    _write("b4", [(9, t(20, 0))])         # advance watermark -> flush user 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_sessionize(stream, key_col="user_id", ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("sessions_frag")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess2_ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sessions_frag").collect()
+    }
+    assert (1, t(1, 15), t(1, 20), 2) in rows  # merged, not two fragments
+    assert (1, t(2, 0), t(2, 0), 1) in rows
+    assert all(not (u == 1 and n == 1 and s == e == t(1, 15)) for u, s, e, n in rows)
+
+
 def test_asof_join_semantics(spark):
     from daft_minhash_dedupe_spark.extras.temporal import asof_join
     import datetime as dt
@@ -353,12 +399,12 @@ def test_embedding_band_buckets_null_vectors_excluded(spark):
     from daft_minhash_dedupe_spark.extras.embedding_ann import embedding_band_buckets
 
     df = spark.createDataFrame(
-        [(0, [1.0, 2.0]), (1, None), (2, [0.5, 1.0])],
+        [(0, [1.0, 2.0]), (1, None), (2, [0.5, 1.0]), (3, [9.0]), (4, [])],
         "vec_id long, embedding array<float>",
     )
     buckets = embedding_band_buckets(df, n_bands=2, rows_per_band=2, dim=2)
     nodes = {r["node"] for r in buckets.collect()}
-    assert nodes == {0, 2}
+    assert nodes == {0, 2}  # null / wrong-dim / empty vectors bucket nowhere
 
 
 def test_contamination_and_decontaminate(spark):

@@ -418,6 +418,41 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over synthesized messy crawl urls (documents has
+    no url column): mixed-case hosts, fragments, default ports, tracking
+    params, trailing slashes — RE2-safe regex chain mirrored by the oracle."""
+    from daft_minhash_dedupe_spark.functions.url import canonical_url
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("Site"), (d % 7).cast("string"), F.lit(".Example"))
+    url = (
+        F.when(d % 4 == 0, F.concat(F.lit("HTTPS://"), host, F.lit("/p/"), d.cast("string"), F.lit("/#sec")))
+        .when(d % 4 == 1, F.concat(F.lit("https://"), F.lower(host), F.lit(":443/p/"), d.cast("string"), F.lit("?utm_source=a")))
+        .when(d % 4 == 2, F.concat(F.lit("http://"), F.lower(host), F.lit(":80/p/"), d.cast("string"), F.lit("?id="), d.cast("string"), F.lit("&utm_b=z")))
+        .otherwise(F.concat(F.lit("https://"), F.lower(host), F.lit("/p/"), d.cast("string")))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", canonical_url(url).alias("canonical")
+    )
+
+
+def _q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top-50 tokens by frequency (explode +
+    count — map-side partial agg — + deterministic (count desc, token) top-k
+    via TakeOrderedAndProject)."""
+    from daft_minhash_dedupe_spark.functions.minhash import tokens
+
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
 def _q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click matched to the user's latest at-or-before
     purchase (union + one window per key — no range join)."""
@@ -584,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": _q_pricing_rollup,
         "status_pivot": _q_status_pivot,
         "user_sessions": _q_user_sessions,
+        "canonical_urls": _q_canonical_urls,
+        "token_topk": _q_token_topk,
         "asof_purchase": _q_asof_purchase,
         "contamination_pairs": _q_contamination,
         "repetition_stats": _q_repetition_stats,
@@ -686,6 +723,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_docs, count(*) AS n_assigned,
                    CAST(0 AS BIGINT) AS n_exactdup_violations
             FROM documents
+        """,
+        "canonical_urls": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example/p/' || CAST(doc_id AS VARCHAR) || '/#sec'
+                  WHEN 1 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example:443/p/' || CAST(doc_id AS VARCHAR) || '?utm_source=a'
+                  WHEN 2 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example:80/p/' || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&utm_b=z'
+                  ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR)
+                END AS url FROM documents),
+            s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM raw),
+            s2 AS (SELECT doc_id,
+                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                || substr(u, length(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
+              FROM s1),
+            s3 AS (SELECT doc_id, regexp_replace(u, '^(https?://[^/?#:]+):(?:80|443)([/?#].*)?$', '\1\2', 'g') AS u FROM s2),
+            s4 AS (SELECT doc_id, regexp_replace(u, '&?(?:utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid)=[^&#]*', '', 'g') AS u FROM s3),
+            s5 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '\?&', '?', 'g'), '\?$', '', 'g') AS u FROM s4),
+            s6 AS (SELECT doc_id, regexp_replace(u, '^([^?#]*[^/?#])/(\?.*)?$', '\1\2', 'g') AS u FROM s5)
+            SELECT doc_id, u AS canonical FROM s6
+        """,
+        "token_topk": f"""
+            WITH tok AS (SELECT unnest({toks}) AS token FROM documents),
+            c AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+            SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50
         """,
         "asof_purchase": """
             SELECT l.event_id, l.user_id,

@@ -3,6 +3,7 @@ for the heavy pipeline ones), compare against oracle_sql() via DuckDB exactly
 like the driver does (row count + column names + order-insensitive values)."""
 
 import math
+import os
 from decimal import Decimal
 
 import duckdb
@@ -76,6 +77,32 @@ def test_query_matches_duckdb_oracle(spark, ddb, name):
 
     assert _type_fp(s_cols, s_rows) == _type_fp(d_cols, d_rows), f"{name}: cell dtypes"
     assert _rows_to_set(s_cols, s_rows) == _rows_to_set(d_cols, d_rows), f"{name}: values"
+
+
+# Opt-in cross-scale sweep: the driver adjudicates at sf0.01; this re-runs
+# every oracle at sf0.001 and sf0.1 to catch data-dependent latent mismatches
+# (ties, precision edges). ~5 min — run with SPARK_GRAFT_FULL_ORACLE=1.
+_FULL = os.environ.get("SPARK_GRAFT_FULL_ORACLE") == "1"
+
+
+@pytest.mark.skipif(not _FULL, reason="set SPARK_GRAFT_FULL_ORACLE=1")
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle_other_sf(spark, sf, name):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    try:
+        sdf = entry_mod.queries()[name](spark, sf)
+        s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        res = con.execute(entry_mod.oracle_sql()[name])
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+        assert sorted(s_cols) == sorted(d_cols)
+        assert len(s_rows) == len(d_rows)
+        assert _rows_to_set(s_cols, s_rows) == _rows_to_set(d_cols, d_rows)
+    finally:
+        con.close()
 
 
 NO_ORACLE = sorted(set(entry_mod.queries()) - set(ORACLE_KEYS))

@@ -113,6 +113,24 @@ def test_explode_blocks_ids(spark):
     assert rows == {("7-0", "A"), ("7-1", "B")}
 
 
+def test_canonical_url(spark):
+    from daft_minhash_dedupe_spark.functions.url import canonical_url
+
+    cases = [
+        ("HTTPS://Site1.Example/p/9#frag", "https://site1.example/p/9"),
+        ("http://a.com:80/x/", "http://a.com/x"),
+        ("https://b.com:443/?utm_source=x&id=1", "https://b.com?id=1"),
+        ("http://c.com/p?utm_a=1&utm_b=2", "http://c.com/p"),
+        ("http://c.com/p?id=1&gclid=zz", "http://c.com/p?id=1"),
+        ("https://d.com/p/q", "https://d.com/p/q"),
+        ("no-scheme.com/x", "no-scheme.com/x"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    rows = df.select("url", "want", canonical_url(F.col("url")).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], f'{r["url"]}: {r["got"]} != {r["want"]}'
+
+
 def test_html_to_text(spark):
     html = """<html><head><style>.x{color:red}</style><script>var a=1;</script>
     <title>Title</title></head>

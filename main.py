@@ -10,7 +10,9 @@ Input: the input_hint web-pages table (url, warc_ts, html, text, lang) as an
 Iceberg identifier (when the session has an Iceberg catalog) or a parquet
 path. Outputs: survivors + full cluster_id assignment table (write-back),
 each via the reference's partitioned-save shape. Build the zip with:
-    cd <repo> && zip -r dist/daft_minhash_dedupe_spark.zip daft_minhash_dedupe_spark
+    python scripts/make_dist.py      # writes dist/daft_minhash_dedupe_spark.zip
+(`tests/test_cli.py::test_spark_submit_py_files_zip` proves the shape end to
+end — zip built, main.py run via spark-submit from outside the repo).
 """
 
 from __future__ import annotations

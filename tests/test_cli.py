@@ -8,6 +8,50 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
+def test_spark_submit_py_files_zip(spark, tmp_path):
+    """The north-rule deployment shape: spark-submit --py-files <pkg.zip>
+    main.py, run from OUTSIDE the repo so the package can only come from the
+    zip. Skipped when spark-submit isn't on PATH."""
+    import os
+    import shutil
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from make_dist import build_zip
+
+    from daft_minhash_dedupe_spark.sources.synthetic import generate_web_pages
+
+    df, _ = generate_web_pages(spark, n_rows=40, seed=5)
+    inp = str(tmp_path / "web_pages")
+    df.write.parquet(inp)
+
+    zip_path = build_zip(tmp_path / "pkg.zip")
+    run_dir = tmp_path / "elsewhere"
+    run_dir.mkdir()
+    shutil.copy(REPO / "main.py", run_dir / "main.py")
+
+    out = str(tmp_path / "out_submit")
+    env = dict(os.environ)
+    env.update({"SPARK_GRAFT_MASTER": "local[4]", "SPARK_GRAFT_DRIVER_MEM": "4g"})
+    r = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--py-files", str(zip_path),
+            str(run_dir / "main.py"),
+            "--input", inp, "--output", out,
+            "--checkpoint", str(tmp_path / "ckpt_submit"),
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(run_dir),
+    )
+    assert r.returncode == 0, (r.stderr or r.stdout)[-3000:]
+    assert spark.read.parquet(f"{out}/clusters").count() == 40
+
+
 def test_main_cli_end_to_end(spark, tmp_path):
     # build a small input table with the session fixture, then run the CLI as
     # its own process (it creates its own local session)

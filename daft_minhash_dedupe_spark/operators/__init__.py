@@ -17,6 +17,10 @@ from daft_minhash_dedupe_spark.operators.components import (
     large_star,
     small_star,
 )
+from daft_minhash_dedupe_spark.operators.incremental import (
+    incremental_assignments,
+    merge_assignment_tables,
+)
 from daft_minhash_dedupe_spark.operators.merge import merge_results
 from daft_minhash_dedupe_spark.operators.verify import verify_pairs_exact_jaccard
 
@@ -34,6 +38,8 @@ __all__ = [
     "global_min_label_propagation",
     "large_star",
     "small_star",
+    "incremental_assignments",
+    "merge_assignment_tables",
     "merge_results",
     "verify_pairs_exact_jaccard",
 ]

@@ -43,6 +43,7 @@ def incremental_assignments(
     old_assignments: DataFrame,
     algorithm: str = "hash_to_min",
     num_salts: int = 16,
+    edges_checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (new_assign, old_updates).
 
@@ -54,7 +55,13 @@ def incremental_assignments(
                  (bridged by a new document) — apply with a left join +
                  coalesce over the stored assignment table.
     """
-    new_bands = new_bands.select("band_key", "node").localCheckpoint(eager=False)
+    # cache (NOT localCheckpoint): the band table feeds several branches that
+    # later self-union; localCheckpoint's LogicalRDD carries originConstraints
+    # with the original attribute ids, and Spark's self-union deduplication
+    # (newInstance) leaves them stale → Union.rewriteConstraints crashes with
+    # "key not found: v#…". A cached plan keeps plan-based children, which
+    # that rewrite handles correctly.
+    new_bands = new_bands.select("band_key", "node").cache()
 
     # new-new connectivity: star edges within the new batch's buckets
     nn_edges = build_edges_from_buckets(new_bands, num_salts=num_salts)
@@ -82,7 +89,22 @@ def incremental_assignments(
         .distinct()
     )
 
-    edges = nn_edges.unionByName(no_edges)
+    # materialize the combined edges through a REAL storage boundary before
+    # CC: the two branches share the new_bands lineage, and Spark 4.1's
+    # Union self-reference deduplication leaves constraints referencing
+    # pre-dedup attribute ids — the CC star steps then crash inside
+    # Union.rewriteConstraints ("key not found: v#…"). Neither cache() nor
+    # localCheckpoint() breaks the constraint linkage; a parquet round-trip
+    # does (and is the same boundary the full pipeline places here anyway).
+    # On a cluster, pass a shared-storage dir; the tempfile default is for
+    # single-node sessions.
+    if edges_checkpoint_dir is None:
+        import tempfile
+
+        edges_checkpoint_dir = tempfile.mkdtemp(prefix="incr_edges_")
+    path = f"{edges_checkpoint_dir}/incremental_edges"
+    nn_edges.unionByName(no_edges).write.mode("overwrite").parquet(path)
+    edges = new_bands.sparkSession.read.parquet(path)
     assigns = connected_components(edges, algorithm=algorithm)
 
     # split the result: labels for new nodes vs merged-old-rep re-labels

@@ -35,7 +35,74 @@ def parse_args():
     p.add_argument("--algorithm", default="two_phase", choices=["two_phase", "alternating"])
     p.add_argument("--chunk-size", type=int, default=200_000)
     p.add_argument("--max-partitions", type=int, default=2048)
+    p.add_argument(
+        "--prior-checkpoint",
+        default=None,
+        help="incremental mode: dir holding the prior corpus state (bands/ + "
+        "components/ parquet — a previous run's --checkpoint dir or a "
+        "previous incremental run's <output>/state). The new batch is folded "
+        "in without recomputing the old corpus; exact full-re-run parity.",
+    )
     return p.parse_args()
+
+
+def run_incremental(spark, args, df, cfg) -> None:
+    """Fold the input batch into the prior corpus state; write the new
+    batch's cluster rows, plus <output>/state/{bands,components} for the next
+    increment."""
+    from pyspark.sql import functions as F
+
+    from daft_minhash_dedupe_spark.operators.incremental import (
+        incremental_assignments,
+        merge_assignment_tables,
+    )
+    from daft_minhash_dedupe_spark.io import write_table
+    from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline
+
+    t0 = time.time()
+    prior_bands = spark.read.parquet(f"{args.prior_checkpoint}/bands")
+    prior_assigns = spark.read.parquet(f"{args.prior_checkpoint}/components")
+
+    pipe = MinHashDedupePipeline(cfg)
+    prepped = pipe.prep(df).localCheckpoint(eager=False)
+    new_bands = pipe.bands(pipe.signatures(pipe.normalize(prepped))).localCheckpoint(
+        eager=False
+    )
+    new_assign, old_updates = incremental_assignments(
+        new_bands.select("band_key", "node"),
+        prior_bands.select("band_key", "node"),
+        prior_assigns,
+        algorithm="hash_to_min" if cfg.algorithm == "hash_to_min" else cfg.algorithm,
+        edges_checkpoint_dir=f"{args.output}/_work",
+    )
+    merged = merge_assignment_tables(prior_assigns, new_assign, old_updates)
+
+    clusters_new = (
+        prepped.select(cfg.index_col, "node_id")
+        .join(merged.withColumnRenamed("u", "node_id"), "node_id", "left")
+        .select(
+            cfg.index_col,
+            F.coalesce("rep", "node_id").alias(cfg.component_col),
+        )
+    )
+    write_table(clusters_new, f"{args.output}/clusters")
+    write_table(merged, f"{args.output}/state/components")
+    write_table(
+        prior_bands.select("band_idx", "band_key", "node").unionByName(
+            new_bands.select("band_idx", "band_key", "node")
+        ),
+        f"{args.output}/state/bands",
+    )
+    n_new = df.count()
+    n_joined = new_assign.count()
+    n_relabel = old_updates.count()
+    dt = time.time() - t0
+    print("─" * 70)
+    print(f"incremental:  {n_new} new docs vs prior state {args.prior_checkpoint}")
+    print(f"joined:       {n_joined} new rows entered clusters; {n_relabel} old rows re-labeled")
+    print(f"wall time:    {dt:.2f}s  ({n_new / dt:.0f} docs/s)")
+    print(f"output:       {args.output}  (next increment: --prior-checkpoint {args.output}/state)")
+    print("─" * 70)
 
 
 def main() -> None:
@@ -64,6 +131,10 @@ def main() -> None:
         verify_pairs=args.verify_pairs,
         checkpoint_dir=args.checkpoint,
     )
+    if args.prior_checkpoint:
+        run_incremental(spark, args, df, cfg)
+        return
+
     ck = StageCheckpointer(spark, root=args.checkpoint, resume=args.resume)
     res = MinHashDedupePipeline(cfg).run(df, checkpointer=ck)
 

@@ -29,6 +29,52 @@ def _stages(pipe, df):
 import pytest
 
 
+def test_incremental_cli_chaining(spark, tmp_path):
+    """Operational loop: full CLI run on batch A (persisting its checkpoint),
+    then `main.py --prior-checkpoint <ckptA>` on batch B; the written
+    state/components must equal a full in-process run over A∪B."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    raw, _ = generate_web_pages(spark, n_rows=150, seed=9)
+    pages = prepare_web_pages(raw).localCheckpoint(eager=True)
+    part_a = pages.where(F.xxhash64("block_id") % 3 != 0)
+    part_b = pages.where(F.xxhash64("block_id") % 3 == 0)
+    # CLI reads the input_hint (url, ...) shape — write the raw tables
+    raw_a = raw.join(part_a.select(F.col("block_id").alias("url")), "url", "left_semi")
+    raw_b = raw.join(part_b.select(F.col("block_id").alias("url")), "url", "left_semi")
+    raw_a.write.parquet(str(tmp_path / "in_a"))
+    raw_b.write.parquet(str(tmp_path / "in_b"))
+
+    env = dict(os.environ)
+    env.update({"SPARK_GRAFT_MASTER": "local[4]", "SPARK_GRAFT_DRIVER_MEM": "4g"})
+
+    def run(args):
+        r = subprocess.run(
+            [sys.executable, str(repo / "main.py"), *args],
+            capture_output=True, text=True, timeout=600, env=env, cwd=str(repo),
+        )
+        assert r.returncode == 0, (r.stderr or r.stdout)[-3000:]
+
+    run(["--input", str(tmp_path / "in_a"), "--output", str(tmp_path / "out_a"),
+         "--checkpoint", str(tmp_path / "ckpt_a")])
+    run(["--input", str(tmp_path / "in_b"), "--output", str(tmp_path / "out_b"),
+         "--prior-checkpoint", str(tmp_path / "ckpt_a")])
+
+    merged = {
+        r["u"]: r["rep"]
+        for r in spark.read.parquet(str(tmp_path / "out_b/state/components")).collect()
+    }
+    pipe = MinHashDedupePipeline(DedupeConfig())
+    nodes, _, full_assigns = _stages(pipe, pages)
+    full = {r["u"]: r["rep"] for r in full_assigns.collect()}
+    for n in nodes:
+        assert merged.get(n, n) == full.get(n, n), f"node {n}"
+
+
 @pytest.mark.parametrize("seed,mod", [(21, 3), (5, 2)])
 def test_incremental_equals_full_run(spark, seed, mod):
     raw, _ = generate_web_pages(spark, n_rows=240, seed=seed)

@@ -738,9 +738,14 @@ def oracle_sql() -> dict[str, str]:
                 lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
                 || substr(u, length(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
               FROM s1),
-            s3 AS (SELECT doc_id, regexp_replace(u, '^(https?://[^/?#:]+):(?:80|443)([/?#].*)?$', '\1\2', 'g') AS u FROM s2),
-            s4 AS (SELECT doc_id, regexp_replace(u, '&?(?:utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid)=[^&#]*', '', 'g') AS u FROM s3),
-            s5 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '\?&', '?', 'g'), '\?$', '', 'g') AS u FROM s4),
+            s3 AS (SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(u, '^(http://[^/?#:]+):80([/?#].*)?$', '\1\2', 'g'),
+                  '^(https://[^/?#:]+):443([/?#].*)?$', '\1\2', 'g') AS u FROM s2),
+            s4 AS (SELECT doc_id, regexp_replace(u, '([?&])(?:utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid)=[^&#]*', '\1', 'g') AS u FROM s3),
+            s5 AS (SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  u, '&&+', '&', 'g'), '\?&', '?', 'g'), '&$', '', 'g'), '\?$', '', 'g') AS u FROM s4),
             s6 AS (SELECT doc_id, regexp_replace(u, '^([^?#]*[^/?#])/(\?.*)?$', '\1\2', 'g') AS u FROM s5)
             SELECT doc_id, u AS canonical FROM s6
         """,

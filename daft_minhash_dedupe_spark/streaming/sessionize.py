@@ -108,14 +108,22 @@ def streaming_sessionize(
         """Emit sessions whose end+gap the watermark has passed; keep and
         re-arm the rest."""
         wm_ms = state.getCurrentWatermarkMs()
-        final = [s for s in sessions if _epoch_ms(s[1]) + gap_s * 1000 <= wm_ms]
-        live = [s for s in sessions if _epoch_ms(s[1]) + gap_s * 1000 > wm_ms]
+        # Finality must be strictly stronger than mergeability: an event at
+        # exactly ts == end + gap still merges (<= gap, line below in _fn) and
+        # ts == watermark is still admissible, so emit only on STRICT
+        # end + gap < watermark — otherwise that boundary event would
+        # fragment into a second emitted session.
+        final = [s for s in sessions if _epoch_ms(s[1]) + gap_s * 1000 < wm_ms]
+        live = [s for s in sessions if _epoch_ms(s[1]) + gap_s * 1000 >= wm_ms]
         if live:
             state.update(
                 ([s[0] for s in live], [s[1] for s in live], [int(s[2]) for s in live])
             )
+            # Spark requires the timeout to be strictly greater than the
+            # current watermark; a session kept live at exactly
+            # end + gap == watermark (strict-< finality) re-arms at wm + 1ms.
             state.setTimeoutTimestamp(
-                min(_epoch_ms(s[1]) for s in live) + int(gap_s * 1000)
+                max(min(_epoch_ms(s[1]) for s in live) + int(gap_s * 1000), wm_ms + 1)
             )
         else:
             state.remove()

@@ -38,30 +38,83 @@ def parse_args():
     p.add_argument(
         "--prior-checkpoint",
         default=None,
-        help="incremental mode: dir holding the prior corpus state (bands/ + "
-        "components/ parquet — a previous run's --checkpoint dir or a "
-        "previous incremental run's <output>/state). The new batch is folded "
-        "in without recomputing the old corpus; exact full-re-run parity.",
+        help="incremental mode: dir holding the prior corpus state — either "
+        "an incremental state root (appended to IN PLACE, O(batch) bytes "
+        "written per increment) or a previous full UN-VERIFIED run's "
+        "--checkpoint dir (bootstrapped once into <output>/state). The new "
+        "batch is folded in without recomputing the old corpus; exact "
+        "full-re-run parity for runs without --verify-pairs (verified runs "
+        "are refused: bucket co-membership does not imply connectivity "
+        "after exact-Jaccard verification).",
     )
-    return p.parse_args()
+    p.add_argument(
+        "--state-buckets",
+        type=int,
+        default=None,
+        help="incremental mode: persist state as external bucketed tables "
+        "(bands by band_key, components by u) so per-batch state joins and "
+        "the assignment fold never shuffle the corpus-sized side.",
+    )
+    args = p.parse_args()
+    if args.verify_pairs and args.prior_checkpoint:
+        p.error(
+            "--verify-pairs cannot be combined with --prior-checkpoint: "
+            "incremental folding links documents by bucket co-membership, "
+            "which pair verification deliberately rejects for some pairs."
+        )
+    return args
 
 
 def run_incremental(spark, args, df, cfg) -> None:
     """Fold the input batch into the prior corpus state; write the new
-    batch's cluster rows, plus <output>/state/{bands,components} for the next
-    increment."""
+    batch's cluster rows plus an O(batch) state increment (append-only band
+    partition + assignment delta — never a rewrite of the corpus tables)."""
+    import os
+
     from pyspark.sql import functions as F
 
-    from daft_minhash_dedupe_spark.operators.incremental import (
-        incremental_assignments,
-        merge_assignment_tables,
+    from daft_minhash_dedupe_spark.operators.incremental import incremental_assignments
+    from daft_minhash_dedupe_spark.operators.state import (
+        IncrementalState,
+        meta_from_config,
     )
     from daft_minhash_dedupe_spark.io import write_table
     from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline
 
     t0 = time.time()
-    prior_bands = spark.read.parquet(f"{args.prior_checkpoint}/bands")
-    prior_assigns = spark.read.parquet(f"{args.prior_checkpoint}/components")
+    prior = IncrementalState(spark, args.prior_checkpoint, n_buckets=args.state_buckets)
+    if prior.is_state_root():
+        # append IN PLACE: only a new batch_id partition is ever written, so
+        # pointing --prior-checkpoint at a previous run's state (including
+        # one under this run's own --output) can never truncate files a
+        # lazy plan is still reading
+        state = prior
+        state.validate_config(cfg)
+    else:
+        # legacy full-run checkpoint dir: one-time O(corpus) bootstrap of a
+        # fresh append-only state root at <output>/state
+        state_root = f"{args.output}/state"
+        if os.path.abspath(state_root) == os.path.abspath(args.prior_checkpoint):
+            raise SystemExit(
+                "refusing to bootstrap incremental state over the prior "
+                "checkpoint itself — pick a different --output"
+            )
+        state = IncrementalState(spark, state_root, n_buckets=args.state_buckets)
+        state.validate_config(cfg)  # verify_pairs guard
+        legacy_meta_path = f"{args.prior_checkpoint}/_META.json"
+        if os.path.exists(legacy_meta_path):
+            legacy = IncrementalState(spark, args.prior_checkpoint)
+            legacy.validate_config(cfg)
+        state.bootstrap(
+            spark.read.parquet(f"{args.prior_checkpoint}/bands").select(
+                "band_key", "node"
+            ),
+            spark.read.parquet(f"{args.prior_checkpoint}/components").select("u", "rep"),
+            meta_from_config(cfg),
+        )
+
+    prior_bands = state.read_bands()
+    prior_assigns = state.read_assignments()
 
     pipe = MinHashDedupePipeline(cfg)
     prepped = pipe.prep(df).localCheckpoint(eager=False)
@@ -70,38 +123,34 @@ def run_incremental(spark, args, df, cfg) -> None:
     )
     new_assign, old_updates = incremental_assignments(
         new_bands.select("band_key", "node"),
-        prior_bands.select("band_key", "node"),
+        prior_bands,
         prior_assigns,
         algorithm="hash_to_min" if cfg.algorithm == "hash_to_min" else cfg.algorithm,
         edges_checkpoint_dir=f"{args.output}/_work",
     )
-    merged = merge_assignment_tables(prior_assigns, new_assign, old_updates)
-
+    # the batch's cluster rows need only this batch's labels + re-labels
+    delta = new_assign.unionByName(old_updates).localCheckpoint(eager=True)
     clusters_new = (
         prepped.select(cfg.index_col, "node_id")
-        .join(merged.withColumnRenamed("u", "node_id"), "node_id", "left")
+        .join(
+            new_assign.withColumnRenamed("u", "node_id"), "node_id", "left"
+        )
         .select(
             cfg.index_col,
             F.coalesce("rep", "node_id").alias(cfg.component_col),
         )
     )
     write_table(clusters_new, f"{args.output}/clusters")
-    write_table(merged, f"{args.output}/state/components")
-    write_table(
-        prior_bands.select("band_idx", "band_key", "node").unionByName(
-            new_bands.select("band_idx", "band_key", "node")
-        ),
-        f"{args.output}/state/bands",
-    )
+    batch_id = state.append(new_bands.select("band_key", "node"), delta)
     n_new = df.count()
     n_joined = new_assign.count()
     n_relabel = old_updates.count()
     dt = time.time() - t0
     print("─" * 70)
-    print(f"incremental:  {n_new} new docs vs prior state {args.prior_checkpoint}")
+    print(f"incremental:  {n_new} new docs folded as batch {batch_id} of {state.root}")
     print(f"joined:       {n_joined} new rows entered clusters; {n_relabel} old rows re-labeled")
     print(f"wall time:    {dt:.2f}s  ({n_new / dt:.0f} docs/s)")
-    print(f"output:       {args.output}  (next increment: --prior-checkpoint {args.output}/state)")
+    print(f"output:       {args.output}  (next increment: --prior-checkpoint {state.root})")
     print("─" * 70)
 
 
@@ -137,6 +186,18 @@ def main() -> None:
 
     ck = StageCheckpointer(spark, root=args.checkpoint, resume=args.resume)
     res = MinHashDedupePipeline(cfg).run(df, checkpointer=ck)
+    if args.checkpoint:
+        # parameter fingerprint so a later --prior-checkpoint run can refuse
+        # mismatched banding params / verified state
+        from daft_minhash_dedupe_spark.operators.state import (
+            _write_text,
+            meta_from_config,
+        )
+        import json as _json
+
+        _write_text(
+            spark, f"{args.checkpoint}/_META.json", _json.dumps(meta_from_config(cfg))
+        )
 
     rows_before = df.count()
     partitioned_save(

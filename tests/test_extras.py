@@ -339,6 +339,67 @@ def test_streaming_sessionize_late_events_never_fragment(spark, tmp_path):
     assert all(not (u == 1 and n == 1 and s == e == t(1, 15)) for u, s, e, n in rows)
 
 
+def test_streaming_sessionize_boundary_event_never_fragments(spark, tmp_path):
+    """Exact-boundary pin: with gap=30m and watermark exactly at
+    session_end + gap (02:30), an event at ts == watermark arriving in a
+    later batch must never fragment an emitted session. Empirically Spark's
+    stateful-op late filter drops ts <= watermark, so the 02:30 event is
+    dropped and two disjoint sessions is the batch-equivalent answer; if a
+    Spark version ever admits ts == wm, the strict-< finality in _flush
+    (sessionize.py) keeps the 02:00 session live so it merges to one session
+    of 3. Either way the fragmented outcome {(02:00,1),(02:30..02:45,2)} —
+    which a <= flush would produce under admit-at-boundary semantics — must
+    not appear."""
+    from daft_minhash_dedupe_spark.streaming import streaming_sessionize
+    import datetime as dt
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    src = tmp_path / "sess3_src"
+    src.mkdir()
+    schema = "user_id bigint, ts timestamp"
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+
+    # b1 sets watermark to exactly 02:30 (max 03:30 - 1h delay)
+    _write("b1", [(1, t(2, 0)), (9, t(3, 30))])
+    # b2: key-1 event 45m later -> separate stored session; flush runs for
+    # key 1 with wm == 02:30 == first session end + gap (the boundary)
+    _write("b2", [(1, t(2, 45))])
+    # b3: event at exactly ts == wm == end + gap — admissible, bridges both
+    _write("b3", [(1, t(2, 30))])
+    _write("b4", [(8, t(23, 0))])  # advance watermark -> flush everything
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_sessionize(stream, key_col="user_id", ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("sessions_boundary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess3_ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    user1 = {
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(
+            "select * from sessions_boundary where user_id = 1"
+        ).collect()
+    }
+    legal = (
+        {(t(2, 0), t(2, 0), 1), (t(2, 45), t(2, 45), 1)},  # 02:30 dropped late
+        {(t(2, 0), t(2, 45), 3)},  # 02:30 admitted -> merges everything
+    )
+    assert user1 in legal, user1  # never the fragmented {(2:00,1),(2:30-2:45,2)}
+
+
 def test_asof_join_semantics(spark):
     from daft_minhash_dedupe_spark.extras.temporal import asof_join
     import datetime as dt

@@ -124,6 +124,16 @@ def test_canonical_url(spark):
         ("http://c.com/p?id=1&gclid=zz", "http://c.com/p?id=1"),
         ("https://d.com/p/q", "https://d.com/p/q"),
         ("no-scheme.com/x", "no-scheme.com/x"),
+        # tracking-name anchored to separator: longer param names untouched
+        ("http://e.com/p?foo_gclid=5&b=2", "http://e.com/p?foo_gclid=5&b=2"),
+        ("http://e.com/p?my_utm_source=1", "http://e.com/p?my_utm_source=1"),
+        # consecutive tracking params leave no && / trailing & residue
+        ("http://f.com/p?utm_a=1&utm_b=2&c=3", "http://f.com/p?c=3"),
+        ("http://f.com/p?a=1&utm_x=2", "http://f.com/p?a=1"),
+        ("http://f.com/p?gclid=5&foo_gclid=7", "http://f.com/p?foo_gclid=7"),
+        # default ports are scheme-matched: cross-scheme ports are real ports
+        ("http://h.com:443/x", "http://h.com:443/x"),
+        ("https://h.com:80/x", "https://h.com:80/x"),
     ]
     df = spark.createDataFrame(cases, "url string, want string")
     rows = df.select("url", "want", canonical_url(F.col("url")).alias("got")).collect()

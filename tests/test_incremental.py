@@ -11,6 +11,10 @@ from daft_minhash_dedupe_spark.operators.incremental import (
     incremental_assignments,
     merge_assignment_tables,
 )
+from daft_minhash_dedupe_spark.operators.state import (
+    IncrementalState,
+    meta_from_config,
+)
 from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline, prepare_web_pages
 from daft_minhash_dedupe_spark.sources.synthetic import generate_web_pages
 
@@ -64,15 +68,27 @@ def test_incremental_cli_chaining(spark, tmp_path):
     run(["--input", str(tmp_path / "in_b"), "--output", str(tmp_path / "out_b"),
          "--prior-checkpoint", str(tmp_path / "ckpt_a")])
 
-    merged = {
-        r["u"]: r["rep"]
-        for r in spark.read.parquet(str(tmp_path / "out_b/state/components")).collect()
-    }
+    state = IncrementalState(spark, str(tmp_path / "out_b/state"))
+    assert state.batch_ids() == [0, 1]  # bootstrap + one increment
+    merged = {r["u"]: r["rep"] for r in state.read_assignments().collect()}
     pipe = MinHashDedupePipeline(DedupeConfig())
     nodes, _, full_assigns = _stages(pipe, pages)
     full = {r["u"]: r["rep"] for r in full_assigns.collect()}
     for n in nodes:
         assert merged.get(n, n) == full.get(n, n), f"node {n}"
+
+    # --verify-pairs with --prior-checkpoint must be rejected at parse time
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, str(repo / "main.py"),
+         "--input", str(tmp_path / "in_b"), "--output", str(tmp_path / "out_x"),
+         "--prior-checkpoint", str(tmp_path / "ckpt_a"), "--verify-pairs"],
+        capture_output=True, text=True, timeout=120, env=env, cwd=str(repo),
+    )
+    assert r.returncode != 0
+    assert "verify-pairs" in (r.stderr + r.stdout)
 
 
 @pytest.mark.parametrize("seed,mod", [(21, 3), (5, 2)])
@@ -101,3 +117,158 @@ def test_incremental_equals_full_run(spark, seed, mod):
 
     for n in all_nodes:
         assert merged.get(n, n) == full.get(n, n), f"node {n}"
+
+def _snapshot_files(root):
+    """path -> (size, mtime_ns) for every data file under root."""
+    from pathlib import Path
+
+    return {
+        str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+        for p in Path(root).rglob("*")
+        if p.is_file() and not p.name.startswith("_SUCCESS")
+    }
+
+
+def _split3(pages):
+    h = F.pmod(F.xxhash64("block_id"), F.lit(3))  # % keeps sign in Spark
+    return (pages.where(h == 0), pages.where(h == 1), pages.where(h == 2))
+
+
+@pytest.mark.parametrize("n_buckets", [None, 8])
+def test_state_chain_equals_full_run(spark, tmp_path, n_buckets):
+    """Three batches folded through the persisted IncrementalState (both
+    backends) must produce exactly the full-run cluster ids."""
+    raw, _ = generate_web_pages(spark, n_rows=240, seed=21)
+    pages = prepare_web_pages(raw).localCheckpoint(eager=True)
+    a, b, c = _split3(pages)
+    cfg = DedupeConfig()
+    pipe = MinHashDedupePipeline(cfg)
+
+    all_nodes, _, full_assigns = _stages(pipe, pages)
+    full = {r["u"]: r["rep"] for r in full_assigns.collect()}
+
+    root = str(tmp_path / f"state_{n_buckets}")
+    state = IncrementalState(spark, root, n_buckets=n_buckets)
+    _, a_bands, a_assigns = _stages(pipe, a)
+    state.bootstrap(a_bands.select("band_key", "node"), a_assigns, meta_from_config(cfg))
+
+    for batch in (b, c):
+        _, bands, _ = _stages(pipe, batch)
+        new_assign, old_updates = incremental_assignments(
+            bands.select("band_key", "node"),
+            state.read_bands(),
+            state.read_assignments(),
+        )
+        delta = new_assign.unionByName(old_updates).localCheckpoint(eager=True)
+        state.append(bands.select("band_key", "node"), delta)
+
+    merged = {r["u"]: r["rep"] for r in state.read_assignments().collect()}
+    for n in all_nodes:
+        assert merged.get(n, n) == full.get(n, n), f"node {n}"
+    # fresh handle (new "session"): reads fold identically
+    merged2 = {
+        r["u"]: r["rep"]
+        for r in IncrementalState(spark, root).read_assignments().collect()
+    }
+    assert merged2 == merged
+
+
+def test_state_append_writes_o_batch_bytes(spark, tmp_path):
+    """The append-only contract: folding a small batch into a large corpus
+    state must (a) leave every pre-existing state file byte-identical and
+    (b) add files only under the new batch_id partition, with size
+    proportional to the batch — the round-2 design rewrote the full corpus
+    band table per increment."""
+    raw, _ = generate_web_pages(spark, n_rows=400, seed=3)
+    pages = prepare_web_pages(raw).localCheckpoint(eager=True)
+    big = pages.where(F.xxhash64("block_id") % 10 != 0)   # ~90% corpus
+    small = pages.where(F.xxhash64("block_id") % 10 == 0)  # ~10% batch
+    cfg = DedupeConfig()
+    pipe = MinHashDedupePipeline(cfg)
+
+    root = str(tmp_path / "state")
+    state = IncrementalState(spark, root)
+    _, big_bands, big_assigns = _stages(pipe, big)
+    state.bootstrap(big_bands.select("band_key", "node"), big_assigns, meta_from_config(cfg))
+    before = _snapshot_files(root)
+    corpus_bytes = sum(s for s, _ in before.values())
+
+    _, s_bands, _ = _stages(pipe, small)
+    new_assign, old_updates = incremental_assignments(
+        s_bands.select("band_key", "node"), state.read_bands(), state.read_assignments()
+    )
+    state.append(
+        s_bands.select("band_key", "node"),
+        new_assign.unionByName(old_updates).localCheckpoint(eager=True),
+    )
+
+    after = _snapshot_files(root)
+    for path, sig in before.items():
+        assert after.get(path) == sig, f"pre-existing state file touched: {path}"
+    new_files = set(after) - set(before)
+    assert new_files, "append wrote nothing"
+    assert all("batch_id=1" in p for p in new_files), new_files
+    new_bytes = sum(after[p][0] for p in new_files)
+    # ~10% batch → new bytes well under half the corpus state (parquet
+    # per-file overhead dominates at this tiny scale; at real scale the
+    # ratio tracks batch/corpus)
+    assert new_bytes < corpus_bytes / 2, (new_bytes, corpus_bytes)
+
+
+def test_state_meta_guards(spark, tmp_path):
+    raw, _ = generate_web_pages(spark, n_rows=60, seed=7)
+    pages = prepare_web_pages(raw)
+    cfg = DedupeConfig()
+    pipe = MinHashDedupePipeline(cfg)
+    _, bands, assigns = _stages(pipe, pages)
+
+    root = str(tmp_path / "state")
+    state = IncrementalState(spark, root)
+    state.bootstrap(bands.select("band_key", "node"), assigns, meta_from_config(cfg))
+
+    # current config wants verification -> refuse regardless of state
+    with pytest.raises(ValueError, match="verify_pairs"):
+        state.validate_config(DedupeConfig(verify_pairs=True))
+    # banding-parameter mismatch -> refuse
+    with pytest.raises(ValueError, match="different"):
+        state.validate_config(DedupeConfig(ngram_size=3))
+    with pytest.raises(ValueError, match="different"):
+        state.validate_config(DedupeConfig(seed=7))
+    # matching config passes
+    state.validate_config(DedupeConfig())
+
+    # state persisted by a verified run -> always refused
+    vroot = str(tmp_path / "vstate")
+    vstate = IncrementalState(spark, vroot)
+    vstate.bootstrap(
+        bands.select("band_key", "node"), assigns,
+        meta_from_config(DedupeConfig(verify_pairs=True)),
+    )
+    with pytest.raises(ValueError, match="verify_pairs"):
+        vstate.validate_config(DedupeConfig())
+
+
+def test_state_compact(spark, tmp_path):
+    raw, _ = generate_web_pages(spark, n_rows=150, seed=11)
+    pages = prepare_web_pages(raw).localCheckpoint(eager=True)
+    a, b, c = _split3(pages)
+    cfg = DedupeConfig()
+    pipe = MinHashDedupePipeline(cfg)
+    state = IncrementalState(spark, str(tmp_path / "state"))
+    _, a_bands, a_assigns = _stages(pipe, a)
+    state.bootstrap(a_bands.select("band_key", "node"), a_assigns, meta_from_config(cfg))
+    for batch in (b, c):
+        _, bands, _ = _stages(pipe, batch)
+        na, ou = incremental_assignments(
+            bands.select("band_key", "node"), state.read_bands(), state.read_assignments()
+        )
+        state.append(bands.select("band_key", "node"),
+                     na.unionByName(ou).localCheckpoint(eager=True))
+
+    compacted = state.compact(str(tmp_path / "state2"))
+    assert compacted.batch_ids() == [0]
+    want = {r["u"]: r["rep"] for r in state.read_assignments().collect()}
+    got = {r["u"]: r["rep"] for r in compacted.read_assignments().collect()}
+    assert got == want
+    assert state.read_bands().count() == compacted.read_bands().count()
+    compacted.validate_config(cfg)

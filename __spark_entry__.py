@@ -267,10 +267,13 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-sf run: instead of sampling doc_id < 2000, the hot-window posting
+    cap (max_posting) bounds the quadratic blowup the way the operator is
+    meant to at scale — the oracle drops the same >500-posting windows."""
     from daft_minhash_dedupe_spark.extras.substring_dedupe import substring_dup_pairs
 
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 2000)
-    return substring_dup_pairs(docs, window_tokens=20, max_posting=None).select("u", "v")
+    docs = _docs(spark, sf_dir)
+    return substring_dup_pairs(docs, window_tokens=20, max_posting=500).select("u", "v")
 
 
 def _q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,6 +346,59 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bin0_count"),
     )
+
+
+def _ascii_padded(col, n: int):
+    """ASCII-only fixed-width byte payload from a text column: strip
+    non-printable/non-ASCII, right-pad/truncate to exactly n chars → n bytes."""
+    return F.encode(F.rpad(F.regexp_replace(col, "[^ -~]", ""), n, " "), "utf-8")
+
+
+def _wav_header(n_bytes: int, sr: int = 8000, ch: int = 1, bits: int = 8) -> bytes:
+    """Canonical 44-byte PCM RIFF/WAVE header (constant across rows because
+    the synthesized payload length is fixed)."""
+    import struct
+
+    byte_rate = sr * ch * bits // 8
+    block_align = ch * bits // 8
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n_bytes) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, byte_rate, block_align, bits)
+        + b"data" + struct.pack("<I", n_bytes)
+    )
+
+
+def _q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path: synthesize valid 8-bit PCM WAV payloads from
+    document text (constant header + 256 ASCII sample bytes), decode with the
+    stdlib ``wave`` parser inside mapInPandas, emit header params + the exact
+    sample sum — every value independently computable by the SQL oracle."""
+    from daft_minhash_dedupe_spark.extras.multimodal import extract_wav_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(_wav_header(256)), _ascii_padded(F.col("text"), 256)).alias(
+            "payload"
+        ),
+    )
+    return extract_wav_features(media)
+
+
+def _q_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path: synthesize binary 16x16 RGB PPM (P6) payloads
+    from document text, decode header + pixels with the numpy parser, emit
+    dimensions + exact pixel sum."""
+    from daft_minhash_dedupe_spark.extras.multimodal import extract_ppm_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(b"P6\n16 16\n255\n"), _ascii_padded(F.col("text"), 768)).alias(
+            "payload"
+        ),
+    )
+    return extract_ppm_features(media)
 
 
 def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,6 +528,29 @@ def _q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_purchase_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-mitigated as-of join (split_buckets): per-(key, time
+    bucket) windows + boundary carry stitch — must match the same DuckDB
+    ASOF JOIN oracle as the single-window path."""
+    from daft_minhash_dedupe_spark.extras.temporal import asof_join
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.unix_timestamp("ts").alias("purchase_epoch")
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", ts="ts",
+        value_cols=["purchase_epoch"], split_buckets=8,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.col("purchase_epoch_asof").alias("purchase_epoch"),
+    )
+
+
 def _q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation gate: keep documents whose composite quality
     score (length saturation × low punctuation × lexical diversity) clears
@@ -505,10 +584,11 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact (non-LSH) similarity join is quadratic by design — bound the
-    # sample so the bench-scale run stays proportionate (no-op at sf<=0.01)
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 2000)
-    return ngram_jaccard_pairs(docs, threshold=0.05, max_posting=None).select(
+    # exact (non-LSH) similarity join is quadratic by design — full-sf run
+    # bounded by the hot-shingle posting cap (mirrored in the oracle), not by
+    # sampling; LSH remains the scale path
+    docs = _docs(spark, sf_dir)
+    return ngram_jaccard_pairs(docs, threshold=0.05, max_posting=500).select(
         "u", "v", "jaccard"
     )
 
@@ -616,12 +696,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_blocks": _q_html_blocks,
         "media_metadata": _q_media_metadata,
         "media_features": _q_media_features,
+        "wav_features": _q_wav_features,
+        "ppm_features": _q_ppm_features,
         "pricing_rollup": _q_pricing_rollup,
         "status_pivot": _q_status_pivot,
         "user_sessions": _q_user_sessions,
         "canonical_urls": _q_canonical_urls,
         "token_topk": _q_token_topk,
         "asof_purchase": _q_asof_purchase,
+        "asof_purchase_split": _q_asof_purchase_split,
         "contamination_pairs": _q_contamination,
         "repetition_stats": _q_repetition_stats,
         "curation_filter": _q_curation_filter,
@@ -688,7 +771,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "ngram_jaccard_pairs": f"""
-            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 2000),
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
             sh AS (
               SELECT doc_id,
                      CASE WHEN len(toks) = 0 THEN []
@@ -696,7 +779,9 @@ def oracle_sql() -> dict[str, str]:
                           ELSE list_distinct(list_transform(range(1, len(toks) - 3),
                                i -> array_to_string(toks[i:i+4], ' '))) END AS shingles
               FROM t),
-            p AS (SELECT doc_id AS doc, unnest(shingles) AS shingle FROM sh),
+            p0 AS (SELECT doc_id AS doc, unnest(shingles) AS shingle FROM sh),
+            hot AS (SELECT shingle FROM p0 GROUP BY shingle HAVING count(*) > 500),
+            p AS (SELECT * FROM p0 ANTI JOIN hot USING (shingle)),
             sizes AS (SELECT doc, count(*) AS n_sh FROM p GROUP BY doc),
             common AS (
               SELECT a.doc AS u, b.doc AS v, count(*) AS common
@@ -755,6 +840,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50
         """,
         "asof_purchase": """
+            SELECT l.event_id, l.user_id,
+                   CAST(floor(epoch(l.ts)) AS BIGINT) AS click_epoch,
+                   CAST(floor(epoch(r.ts)) AS BIGINT) AS purchase_epoch
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_purchase_split": """
             SELECT l.event_id, l.user_id,
                    CAST(floor(epoch(l.ts)) AS BIGINT) AS click_epoch,
                    CAST(floor(epoch(r.ts)) AS BIGINT) AS purchase_epoch
@@ -847,14 +940,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "substring_dup_pairs": f"""
-            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 2000),
-            w AS (
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            w0 AS (
               SELECT doc_id, unnest(
                 CASE WHEN len(toks) = 0 THEN []
                      WHEN len(toks) < 20 THEN [array_to_string(toks, ' ')]
                      ELSE list_distinct(list_transform(range(1, len(toks) - 18),
                           i -> array_to_string(toks[i:i+19], ' '))) END) AS win
               FROM t),
+            hot AS (SELECT win FROM w0 GROUP BY win HAVING count(*) > 500),
+            w AS (SELECT * FROM w0 ANTI JOIN hot USING (win)),
             g AS (SELECT win, min(doc_id) AS u FROM w GROUP BY win)
             SELECT DISTINCT g.u AS u, w.doc_id AS v
             FROM w JOIN g USING (win) WHERE w.doc_id <> g.u
@@ -868,6 +963,38 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS block_text
             FROM documents
             WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
+        """,
+        "wav_features": """
+            WITH s AS (
+              SELECT doc_id,
+                     rpad(regexp_replace(text, '[^ -~]', '', 'g'), 256, ' ') AS a
+              FROM documents),
+            sums AS (
+              SELECT doc_id,
+                     CAST(SUM(unicode(substr(a, CAST(i AS INT), 1))) AS BIGINT) AS sample_sum
+              FROM s, range(1, 257) t(i) GROUP BY doc_id)
+            SELECT doc_id AS media_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(256 AS BIGINT) AS n_frames,
+                   CAST(32 AS BIGINT) AS duration_ms,
+                   sample_sum
+            FROM sums
+        """,
+        "ppm_features": """
+            WITH s AS (
+              SELECT doc_id,
+                     rpad(regexp_replace(text, '[^ -~]', '', 'g'), 768, ' ') AS a
+              FROM documents),
+            sums AS (
+              SELECT doc_id,
+                     CAST(SUM(unicode(substr(a, CAST(i AS INT), 1))) AS BIGINT) AS pixel_sum
+              FROM s, range(1, 769) t(i) GROUP BY doc_id)
+            SELECT doc_id AS media_id,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(16 AS BIGINT) AS height,
+                   pixel_sum
+            FROM sums
         """,
         "media_metadata": """
             SELECT doc_id AS media_id,

@@ -2,16 +2,23 @@
 with typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning) is real and tested; the actual media DECODING is
-stubbed — the sandbox has no image/audio libraries — behind
-``decode_image_stub`` (deterministic fake features) and
-``decode_image_real`` (raises NotImplementedError until Pillow/ffmpeg are
-provisioned). Swapping the stub for a real decoder changes ONE function, not
-the dataflow.
+signatures, partitioning) is real and tested. Decoding has two tiers:
+
+- REAL decoders for formats the standard library + numpy can parse:
+  WAV/PCM audio (``decode_wav`` via stdlib ``wave``) and binary PPM/PGM
+  images (``decode_ppm``) — exercised end-to-end by ``extract_wav_features``
+  / ``extract_ppm_features`` and oracle-checked driver queries.
+- Compressed formats (JPEG/PNG/video) require Pillow/ffmpeg, which this
+  sandbox doesn't have: ``decode_image_real`` raises NotImplementedError and
+  ``decode_image_stub`` (deterministic byte-histogram fake) stands in so the
+  distributed dataflow stays fully testable. Swapping the stub for a real
+  decoder changes ONE function, not the dataflow.
 """
 
 from __future__ import annotations
 
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -25,6 +32,13 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>"
+
+WAV_FEATURE_SCHEMA = (
+    "media_id long, sample_rate long, n_channels long, n_frames long, "
+    "duration_ms long, sample_sum long"
+)
+
+PPM_FEATURE_SCHEMA = "media_id long, width long, height long, pixel_sum long"
 
 
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -42,12 +56,64 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     )
 
 
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode via stdlib ``wave``: parses the RIFF/WAVE header and
+    PCM frames. Returns sample_rate/n_channels/n_frames/duration_ms plus the
+    exact integer sum of all 8-bit samples (an oracle-checkable content
+    feature; 16-bit samples are summed as signed int16)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr, ch, width, n = (
+            w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()
+        )
+        frames = w.readframes(n)
+    dtype = np.uint8 if width == 1 else np.dtype("<i2")
+    samples = np.frombuffer(frames, dtype=dtype)
+    return {
+        "sample_rate": sr,
+        "n_channels": ch,
+        "n_frames": n,
+        "duration_ms": n * 1000 // sr,
+        "sample_sum": int(samples.astype(np.int64).sum()),
+    }
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image decode for binary PPM (P6, RGB) / PGM (P5, gray): header
+    token parse + numpy reshape. No external library needed."""
+    if not payload.startswith((b"P6", b"P5")):
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if payload.startswith(b"P6") else 1
+    # header = magic, width, height, maxval tokens separated by whitespace
+    # (comments stripped), then a single whitespace byte before pixel data
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM needs byte-order handling")
+    data = payload[pos + 1 : pos + 1 + width * height * channels]
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return arr.reshape(height, width, channels)
+
+
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Real decode path — requires an image library not present in this
+    """Real image decode dispatch: PPM/PGM decode here (stdlib+numpy);
+    compressed formats require an image library not present in this
     environment. The mapInPandas plumbing below is agnostic to which decoder
     is plugged in."""
+    if payload.startswith((b"P6", b"P5")):
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "image decoding requires Pillow/opencv; not available in this sandbox"
+        "JPEG/PNG decoding requires Pillow/opencv; not available in this sandbox"
     )
 
 
@@ -86,6 +152,42 @@ def extract_media_features(
             )
 
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def extract_wav_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL WAV decoding over Arrow batches (mapInPandas, narrow — no
+    shuffle): header params + exact PCM sample sum per payload."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_wav(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return df.mapInPandas(_extract, schema=WAV_FEATURE_SCHEMA)
+
+
+def extract_ppm_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL PPM/PGM decoding over Arrow batches: dimensions + exact pixel
+    sum per payload."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                arr = decode_ppm(p)
+                recs.append(
+                    {
+                        "media_id": mid,
+                        "width": arr.shape[1],
+                        "height": arr.shape[0],
+                        "pixel_sum": int(arr.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    return df.mapInPandas(_extract, schema=PPM_FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -688,3 +688,166 @@ def test_ann_topk_ivf_and_lsh_recall_vs_brute_force(spark):
     assert ivf[0] == 11 and lsh[0] == 11
     assert len(set(ivf) & set(exact)) >= 5
     assert len(lsh) >= 1
+
+
+def test_decode_wav_roundtrip():
+    """decode_wav must recover exactly what stdlib wave wrote (8- and 16-bit)."""
+    import io
+    import wave as wavemod
+
+    import numpy as np
+
+    from daft_minhash_dedupe_spark.extras.multimodal import decode_wav
+
+    samples8 = np.arange(200, dtype=np.uint8)
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+        w.writeframes(samples8.tobytes())
+    got = decode_wav(buf.getvalue())
+    assert got == {
+        "sample_rate": 8000, "n_channels": 1, "n_frames": 200,
+        "duration_ms": 25, "sample_sum": int(samples8.sum()),
+    }
+
+    samples16 = (np.arange(100, dtype=np.int16) - 50) * 131
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(2); w.setsampwidth(2); w.setframerate(44100)
+        w.writeframes(samples16.tobytes())
+    got = decode_wav(buf.getvalue())
+    assert got["n_channels"] == 2 and got["sample_rate"] == 44100
+    assert got["n_frames"] == 50  # 100 samples / 2 channels
+    assert got["sample_sum"] == int(samples16.astype(np.int64).sum())
+
+
+def test_decode_ppm_variants():
+    import numpy as np
+    import pytest as _pytest
+
+    from daft_minhash_dedupe_spark.extras.multimodal import (
+        decode_image_real,
+        decode_ppm,
+    )
+
+    pix = np.arange(2 * 3 * 3, dtype=np.uint8)
+    p6 = b"P6\n3 2\n255\n" + pix.tobytes()
+    arr = decode_ppm(p6)
+    assert arr.shape == (2, 3, 3) and int(arr.sum()) == int(pix.sum())
+    # comment in header + CRLF-ish whitespace
+    p6c = b"P6 # a comment\n# another\n 3\t2 255\n" + pix.tobytes()
+    assert decode_ppm(p6c).shape == (2, 3, 3)
+    gray = np.arange(6, dtype=np.uint8)
+    p5 = b"P5\n3 2\n255\n" + gray.tobytes()
+    assert decode_ppm(p5).shape == (2, 3, 1)
+    # dispatch: PPM decodes for real; compressed formats still gated
+    assert decode_image_real(p6).shape == (2, 3, 3)
+    with _pytest.raises(NotImplementedError):
+        decode_image_real(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_wav_ppm_feature_extraction_distributed(spark):
+    """The real decoders through the mapInPandas plumbing."""
+    import io
+    import wave as wavemod
+
+    import numpy as np
+
+    from daft_minhash_dedupe_spark.extras.multimodal import (
+        extract_ppm_features,
+        extract_wav_features,
+    )
+
+    rows = []
+    for mid in range(6):
+        samples = (np.arange(64, dtype=np.uint8) + mid)
+        buf = io.BytesIO()
+        with wavemod.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(1); w.setframerate(16000)
+            w.writeframes(samples.tobytes())
+        rows.append((mid, bytearray(buf.getvalue())))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["sample_sum"] for r in extract_wav_features(df).collect()}
+    assert got == {mid: int((np.arange(64) + mid).sum()) for mid in range(6)}
+
+    prows = []
+    for mid in range(4):
+        pix = np.full(4 * 4 * 3, mid, dtype=np.uint8)
+        prows.append((mid, bytearray(b"P6\n4 4\n255\n" + pix.tobytes())))
+    pdf = spark.createDataFrame(prows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["width"], r["height"], r["pixel_sum"])
+           for r in extract_ppm_features(pdf).collect()}
+    assert got == {mid: (4, 4, mid * 48) for mid in range(4)}
+
+
+def test_asof_join_split_buckets_equals_single_window(spark):
+    """The hot-key mitigation path must return byte-identical results to the
+    single-window path on a skewed input (one key holding ~all rows), and
+    the carry must propagate across buckets that contain no right rows."""
+    import datetime as dt
+
+    from daft_minhash_dedupe_spark.extras.temporal import asof_join
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=m)
+
+    # hot key 1: 3000 left rows over 3000 minutes; right rows only in the
+    # FIRST sixth of the range so later buckets are right-empty
+    left_rows = [(i, 1, t(i)) for i in range(3000)] + [(9001, 2, t(17))]
+    right_rows = [(1, t(m), m) for m in range(0, 500, 50)] + [(2, t(10), 999)]
+    left = spark.createDataFrame(left_rows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "user_id long, ts timestamp, v long")
+
+    base = {
+        r["event_id"]: r["v_asof"]
+        for r in asof_join(left, right, key="user_id", ts="ts", value_cols=["v"]).collect()
+    }
+    split = {
+        r["event_id"]: r["v_asof"]
+        for r in asof_join(
+            left, right, key="user_id", ts="ts", value_cols=["v"], split_buckets=8
+        ).collect()
+    }
+    assert split == base
+    # spot-check semantics: last bucket's rows still see minute-450 purchase
+    assert split[2999] == 450 and split[9001] == 999 and split[0] == 0
+
+    # the bucketed plan really windows on (key, bucket)
+    plan = asof_join(
+        left, right, key="user_id", ts="ts", value_cols=["v"], split_buckets=8
+    )._sc._jvm.PythonSQLUtils.explainString(
+        asof_join(
+            left, right, key="user_id", ts="ts", value_cols=["v"], split_buckets=8
+        )._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "_bucket" in plan
+
+
+def test_asof_join_split_buckets_null_struct_and_ties(spark):
+    """Tie/NULL semantics must survive bucketing: latest right row wins WHOLE
+    even when its fields are NULL; equal-ts right row matches inclusively."""
+    import datetime as dt
+
+    from daft_minhash_dedupe_spark.extras.temporal import asof_join
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [(1, 100, t(12)), (2, 100, t(5)), (3, 200, t(59))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, t(5), 50, 7), (100, t(10), None, 9), (200, t(59), 1, 1)],
+        "user_id long, ts timestamp, a long, b long",
+    )
+    for sb in (None, 4):
+        out = {
+            r["event_id"]: (r["a_asof"], r["b_asof"])
+            for r in asof_join(
+                left, right, key="user_id", ts="ts",
+                value_cols=["a", "b"], split_buckets=sb,
+            ).collect()
+        }
+        assert out == {1: (None, 9), 2: (50, 7), 3: (1, 1)}, (sb, out)

@@ -102,6 +102,11 @@ class DedupeConfig:
     pairwise_cap: int = 64
     # Skew handling: number of salts for the two-phase salted band aggregation.
     num_salts: int = 16
+    # Scale-adaptive CC: edge sets at or under this bound run driver-side
+    # union-find (identical output) instead of the iterative distributed
+    # loop — the AQE-broadcast analogue for tiny graphs. 100k edges ≈ 2 MB
+    # collected; bigger edge sets always take the distributed path.
+    cc_driver_fallback_edges: int = 100_000
     checkpoint_dir: str | None = None
     B: int = field(init=False)
     R: int = field(init=False)

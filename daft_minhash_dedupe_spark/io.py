@@ -142,14 +142,19 @@ class StageCheckpointer:
         t0 = time.time()
         df.write.mode("overwrite").option("compression", "snappy").parquet(str(d))
         out = self.spark.read.parquet(str(d))
-        # per-partition lineage/row-count metrics (north rule) — one scan
-        per_part = [
-            (int(r["pid"]), int(r["rows"]))
-            for r in out.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .withColumnRenamed("count", "rows")
-            .collect()
-        ]
+        # per-partition lineage/row-count metrics (north rule). Fast path:
+        # the parquet footers already carry exact per-file row counts — read
+        # them directly instead of paying an extra Spark scan per stage
+        # (local paths; falls back to the one-scan groupBy elsewhere).
+        per_part = self._footer_partition_rows(d)
+        if per_part is None:
+            per_part = [
+                (int(r["pid"]), int(r["rows"]))
+                for r in out.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .withColumnRenamed("count", "rows")
+                .collect()
+            ]
         rec = {
             "stage": name,
             "rows": sum(r for _, r in per_part),
@@ -162,6 +167,22 @@ class StageCheckpointer:
             fh.write(json.dumps(rec) + "\n")
         (d / _MARKER).touch()
         return out
+
+    @staticmethod
+    def _footer_partition_rows(d: Path) -> list[tuple[int, int]] | None:
+        """(file_index, rows) per data file from parquet footer metadata —
+        zero Spark jobs. None when the path isn't a local directory (cluster
+        storage → caller uses the scan path)."""
+        try:
+            import pyarrow.parquet as pq
+
+            files = sorted(p for p in d.iterdir() if p.name.endswith(".parquet"))
+            return [
+                (i, pq.ParquetFile(str(p)).metadata.num_rows)
+                for i, p in enumerate(files)
+            ]
+        except Exception:
+            return None
 
     def iter_checkpoint(self, df: DataFrame, name: str) -> DataFrame:
         """Cheap intra-loop lineage severing (CC iterations): lazy

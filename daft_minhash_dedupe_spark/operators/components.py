@@ -188,13 +188,31 @@ def connected_components(
     algorithm: str = "two_phase",
     max_loops: int = 100,
     checkpoint: Checkpoint = _local_checkpoint,
+    driver_fallback_edges: int | None = None,
 ) -> DataFrame:
     """Full CC: star contraction to stability, then assignments, then global
     min-label propagation for exact global-minimum parity (reference :507-557).
 
     Returns (u, rep) with rep = the global minimum node id of u's component —
     the invariant every downstream keep-rule depends on.
+
+    ``driver_fallback_edges``: scale-adaptive execution (the AQE-broadcast
+    analogue for the iterative CC loop): when the edge set fits under this
+    bound, a bounded ``limit(N+1).collect()`` + driver union-find replaces
+    the multi-job distributed loop — identical output (one row per node
+    appearing in edges, rep = component minimum, self rows included), tested
+    for DataFrame equality against the distributed path. ~1.5 s of driver
+    round-trips saved per tiny run; big edge sets take the distributed loop
+    untouched.
     """
+    if driver_fallback_edges:
+        head = edges.select("u", "v").limit(driver_fallback_edges + 1).collect()
+        if len(head) <= driver_fallback_edges:
+            mapping = union_find_components([(r["u"], r["v"]) for r in head])
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                sorted(mapping.items()) or [], "u long, rep long"
+            )
     if algorithm == "hash_to_min":
         # no star contraction: initialize label(u) = min(u, min-neighbor) and
         # diffuse. construct_assignments alone seeds rep = min OUTGOING

@@ -154,8 +154,14 @@ class MinHashDedupePipeline:
         # CPU-heavy narrow stages (regex/UDF text work) must not run at the
         # parallelism AQE-coalesce or parquet split sizing picks for small
         # BYTE sizes — 150MB of text is 3 input splits but hours of per-core
-        # work at scale. Pin them to the cluster's core count.
+        # work at scale. Pin them to the cluster's core count — but CLAMP by
+        # input rows: at tiny scale, fanning 500 docs over 32+ partitions
+        # spawns a Python worker per core for milliseconds of work each
+        # (measured 2.6s of a 9s cold flagship run). The count is a cheap job
+        # on the just-materialized stage.
+        n_rows = prepped.count()
         par = df.sparkSession.sparkContext.defaultParallelism
+        par = max(1, min(par, -(-n_rows // 1000)))
 
         # normalize is its own stage boundary: chaining the NFD pandas UDF and
         # the minhash Arrow kernel inside ONE stage measured ~6× slower (two
@@ -195,6 +201,7 @@ class MinHashDedupePipeline:
                 algorithm=c.algorithm,
                 max_loops=c.max_loops,
                 checkpoint=ck.iter_checkpoint,
+                driver_fallback_edges=c.cc_driver_fallback_edges,
             ),
         )
         results = merge_results(

@@ -52,4 +52,24 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP") != "1":
+        _warm_python_workers(spark)
     return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Session-bootstrap warmup: spawn the reusable Python UDF worker and pay
+    its pandas/pyarrow import cost (~2 s) HERE rather than inside the first
+    pandas-UDF query a user times. A no-op job over one row."""
+    try:
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _noop(s: pd.Series) -> pd.Series:
+            return s
+
+        spark.range(1).select(_noop(F.col("id"))).collect()
+    except Exception:
+        pass  # warmup is best-effort; never block session creation

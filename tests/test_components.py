@@ -102,3 +102,42 @@ def test_cc_random_graphs_match_union_find_oracle(spark, algorithm):
         assert partition_sets(got) == partition_sets(want), f"trial {trial}"
         # representative is the global min of each component
         assert all(got[rep] == rep for rep in got.values())
+
+
+def test_driver_fallback_identical_to_distributed(spark):
+    """The scale-adaptive union-find fallback must return EXACTLY the
+    distributed result (same node set incl. self rows, same min reps)."""
+    import random
+
+    from daft_minhash_dedupe_spark.operators.components import connected_components
+
+    rng = random.Random(7)
+    nodes = [rng.randint(-(2**40), 2**40) for _ in range(300)]
+    edges = [
+        (nodes[rng.randrange(len(nodes))], nodes[rng.randrange(len(nodes))])
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(edges, "u long, v long")
+    dist = {
+        (r["u"], r["rep"])
+        for r in connected_components(df, algorithm="hash_to_min").collect()
+    }
+    fast = {
+        (r["u"], r["rep"])
+        for r in connected_components(
+            df, algorithm="hash_to_min", driver_fallback_edges=10_000
+        ).collect()
+    }
+    assert fast == dist
+    # over-threshold edge sets must keep taking the distributed path
+    # (fallback bound smaller than the edge count -> same distributed result)
+    still_dist = {
+        (r["u"], r["rep"])
+        for r in connected_components(
+            df, algorithm="hash_to_min", driver_fallback_edges=10
+        ).collect()
+    }
+    assert still_dist == dist
+
+    empty = spark.createDataFrame([], "u long, v long")
+    assert connected_components(empty, driver_fallback_edges=100).count() == 0

@@ -583,6 +583,135 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", simhash64(F.col("_sh")).alias("simhash"))
 
 
+def _planted_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ 50 planted exact copies (doc_id + 1e6) — turns the
+    'identical text ⇒ identical fingerprint' kernel invariants below into
+    non-vacuous checks (the raw sf tables have no exact duplicates)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(planted)
+
+
+def _q_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable companion for the rows-only simhash kernel: SQL can't
+    reproduce xxhash64-seeded simhash values, but it CAN verify the planted
+    invariant that byte-identical texts get byte-identical fingerprints
+    (n_violations must be 0 over 50 planted duplicate pairs), plus the
+    group-structure counts it derives independently."""
+    sh = add_shingles(_planted_dup_docs(spark, sf_dir), "text", 5, "_sh").select(
+        "text", simhash64(F.col("_sh")).alias("simhash")
+    )
+    g = sh.groupBy("text").agg(
+        F.countDistinct("simhash").alias("k"), F.count("*").alias("n")
+    )
+    return g.agg(
+        F.count("*").alias("n_text_groups"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when((F.col("n") > 1) & (F.col("k") > 1), 1).otherwise(0)).alias(
+            "n_violations"
+        ),
+    )
+
+
+def _q_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pattern for the rolling-hash document fingerprint: planted-dup
+    equality (violations = 0) + the SQL-derivable null rule (fingerprint is
+    null exactly when the doc tokenizes to nothing)."""
+    fp = add_shingles(_planted_dup_docs(spark, sf_dir), "text", 5, "_sh").select(
+        "text",
+        F.when(F.size("_sh") == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.array_min("_sh"))
+        .alias("fingerprint"),
+    )
+    g = fp.groupBy("text").agg(
+        F.countDistinct("fingerprint").alias("k"),
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("fingerprint").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+    return g.agg(
+        F.count("*").alias("n_text_groups"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum("n_null").alias("n_null_fingerprints"),
+        F.sum(F.when((F.col("n") > 1) & (F.col("k") > 1), 1).otherwise(0)).alias(
+            "n_violations"
+        ),
+    )
+
+
+def _q_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental-dedup parity as a driver-adjudicated row: split
+    the corpus into two batches, fold batch B into batch A's state with
+    incremental_assignments, and count nodes whose cluster id differs from a
+    full run over A∪B — must be 0 (the oracle asserts it)."""
+    from daft_minhash_dedupe_spark.operators.components import connected_components
+    from daft_minhash_dedupe_spark.operators.edges import build_edges_from_buckets
+    from daft_minhash_dedupe_spark.operators.incremental import (
+        incremental_assignments,
+        merge_assignment_tables,
+    )
+    from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline
+
+    pipe = MinHashDedupePipeline(DedupeConfig())
+    docs = _docs_as_blocks(spark, sf_dir).localCheckpoint(eager=False)
+    h = F.pmod(F.xxhash64("block_id"), F.lit(3))
+
+    def stages(d):
+        prepped = pipe.prep(d)
+        bands = pipe.bands(pipe.signatures(pipe.normalize(prepped))).localCheckpoint(
+            eager=False
+        )
+        assigns = connected_components(
+            build_edges_from_buckets(bands), algorithm="hash_to_min"
+        )
+        return prepped, bands, assigns
+
+    prepped_all, _, full = stages(docs)
+    _, a_bands, a_assigns = stages(docs.where(h != 0))
+    _, b_bands, _ = stages(docs.where(h == 0))
+    new_assign, old_updates = incremental_assignments(
+        b_bands.select("band_key", "node"),
+        a_bands.select("band_key", "node"),
+        a_assigns,
+    )
+    merged = merge_assignment_tables(a_assigns, new_assign, old_updates)
+
+    nodes = prepped_all.select("node_id").distinct()
+    cmp = (
+        nodes.join(
+            full.select(F.col("u").alias("node_id"), F.col("rep").alias("_f")),
+            "node_id", "left",
+        )
+        .join(
+            merged.select(F.col("u").alias("node_id"), F.col("rep").alias("_m")),
+            "node_id", "left",
+        )
+        .select(
+            (
+                F.coalesce("_f", "node_id") != F.coalesce("_m", "node_id")
+            ).alias("bad")
+        )
+    )
+    return cmp.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0)).alias("n_mismatch"),
+    )
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with exhaustive probing (n_probe = n_lists): exercises the
+    argmax-dot coarse-assignment expression and the list-pruned scan while
+    staying exactly equal to brute-force top-k — hence SQL-adjudicable."""
+    from daft_minhash_dedupe_spark.extras.embedding_ann import ann_topk_ivf
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ann_topk_ivf(
+        emb, [float(x) for x in query], k=10, n_lists=16, n_probe=16
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact (non-LSH) similarity join is quadratic by design — full-sf run
     # bounded by the hot-shingle posting cap (mirrored in the oracle), not by
@@ -711,6 +840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "simhash_fingerprints": _q_simhash,
+        "simhash_stats": _q_simhash_stats,
+        "fingerprint_stats": _q_fingerprint_stats,
+        "incremental_parity": _q_incremental_parity,
+        "ivf_topk": _q_ivf_topk,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "tpch_pricing_summary": _q_tpch_pricing,
         "customer_revenue": _q_customer_revenue,
@@ -1092,6 +1225,44 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
+        """,
+        "ivf_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "simhash_stats": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+            g AS (SELECT text, count(*) AS n FROM all_docs GROUP BY text)
+            SELECT CAST(count(*) AS BIGINT) AS n_text_groups,
+                   CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+                   CAST(0 AS BIGINT) AS n_violations
+            FROM g
+        """,
+        "fingerprint_stats": f"""
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+            g AS (SELECT text, count(*) AS n,
+                         CASE WHEN len({toks}) = 0 THEN count(*) ELSE 0 END AS n_null
+                  FROM all_docs GROUP BY text)
+            SELECT CAST(count(*) AS BIGINT) AS n_text_groups,
+                   CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+                   CAST(sum(n_null) AS BIGINT) AS n_null_fingerprints,
+                   CAST(0 AS BIGINT) AS n_violations
+            FROM g
+        """,
+        "incremental_parity": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(0 AS BIGINT) AS n_mismatch
+            FROM documents
         """,
     }
 

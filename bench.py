@@ -176,11 +176,18 @@ def main() -> None:
         return
 
     if args.scaling:
-        report = {"input_docs": args.docs, "runs": {}}
+        report = {
+            "input_docs": args.docs,
+            "min_tokens": args.min_tokens,
+            "max_tokens": args.max_tokens,
+            "runs": {},
+        }
         lo, hi = max(CPUS // 4, 1), CPUS
         for n in (lo, hi):
             spark = _fresh_spark(n)
-            sec, rows = run_flagship(spark, args.docs)
+            sec, rows = run_flagship(
+                spark, args.docs, min_tokens=args.min_tokens, max_tokens=args.max_tokens
+            )
             report["runs"][f"local[{n}]"] = {
                 "sec": round(sec, 2),
                 "docs_per_sec": round(rows / sec, 1),

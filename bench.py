@@ -145,6 +145,14 @@ def main() -> None:
     )
     ap.add_argument("--min-tokens", type=int, default=80)
     ap.add_argument("--max-tokens", type=int, default=400)
+    ap.add_argument(
+        "--repeats",
+        type=int,
+        default=1,
+        help="--scaling only: interleave hi/lo runs N times and report the "
+        "best (min wall) per level — suppresses ambient host noise, which "
+        "on this sandbox drifts ~10-15%% over a session",
+    )
     args = ap.parse_args()
 
     if args.flagship_only:
@@ -183,17 +191,23 @@ def main() -> None:
             "runs": {},
         }
         lo, hi = max(CPUS // 4, 1), CPUS
-        for n in (lo, hi):
+        # interleave hi/lo (hi first) so monotonic ambient drift penalizes
+        # neither side systematically; best-of-N per level is the estimator
+        order = [hi, lo] * max(args.repeats, 1)
+        all_runs: dict[int, list[dict]] = {lo: [], hi: []}
+        for n in order:
             spark = _fresh_spark(n)
             sec, rows = run_flagship(
                 spark, args.docs, min_tokens=args.min_tokens, max_tokens=args.max_tokens
             )
-            report["runs"][f"local[{n}]"] = {
-                "sec": round(sec, 2),
-                "docs_per_sec": round(rows / sec, 1),
-                "rows": rows,
-            }
+            all_runs[n].append(
+                {"sec": round(sec, 2), "docs_per_sec": round(rows / sec, 1), "rows": rows}
+            )
             spark.stop()
+        for n in (lo, hi):
+            report["runs"][f"local[{n}]"] = min(all_runs[n], key=lambda r: r["sec"])
+        if args.repeats > 1:
+            report["all_runs"] = {f"local[{n}]": rs for n, rs in all_runs.items()}
         tl = report["runs"][f"local[{lo}]"]["docs_per_sec"]
         th = report["runs"][f"local[{hi}]"]["docs_per_sec"]
         report["scaling_efficiency"] = round(th / (tl * (hi / lo)), 3)

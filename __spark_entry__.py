@@ -401,6 +401,78 @@ def _q_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_ppm_features(media)
 
 
+# uniform +10 brightness shift on the [space..'t'] byte alphabet, expressible
+# as translate() on BOTH engines (every char maps; no clipping, so the shift
+# is uniform and the perceptual hash must be invariant to it)
+_SHIFT_FROM = "".join(chr(c) for c in range(32, 117))
+_SHIFT_TO = "".join(chr(c + 10) for c in range(32, 117))
+
+
+def _ppm_low_alphabet(col):
+    """16x16 P6 payload over bytes 32..116 only (so a +10 shift can't clip)."""
+    return F.concat(
+        F.lit(b"P6\n16 16\n255\n"),
+        F.encode(F.rpad(F.regexp_replace(col, "[^ -t]", ""), 768, " "), "utf-8"),
+    )
+
+
+def _q_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode -> nearest-neighbor resize path: 16x16 P6 payloads scaled
+    to 8x8 inside mapInPandas. Integer-factor nearest-neighbor is strided
+    sampling (pixels at even coords), so the resized pixel sum is exactly
+    computable by the SQL oracle from the payload byte positions."""
+    from daft_minhash_dedupe_spark.extras.multimodal import (
+        extract_resized_ppm_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(b"P6\n16 16\n255\n"), _ascii_padded(F.col("text"), 768)).alias(
+            "payload"
+        ),
+    )
+    return extract_resized_ppm_features(media, 8, 8)
+
+
+def _q_image_ahash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash invariants as a driver-adjudicated row: each
+    source image, an exact copy (doc_id < 50), and a uniformly brightened
+    copy (+10 on every byte, doc_id in [50,100)) must all hash identically —
+    n_violations counts source groups with >1 distinct aHash (must be 0; the
+    brightness invariance is what makes the hash perceptual rather than a
+    byte digest). Group counts are SQL-derivable from text equality."""
+    from daft_minhash_dedupe_spark.extras.multimodal import extract_image_ahash
+
+    docs = _docs(spark, sf_dir)
+    src = F.rpad(F.regexp_replace("text", "[^ -t]", ""), 768, " ")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"), src.alias("src"),
+        _ppm_low_alphabet(F.col("text")).alias("payload"),
+    )
+    copies = base.where(F.col("media_id") < 50).select(
+        (F.col("media_id") + 1_000_000).alias("media_id"), "src", "payload"
+    )
+    shifted = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + 2_000_000).alias("media_id"),
+        src.alias("src"),
+        F.concat(
+            F.lit(b"P6\n16 16\n255\n"),
+            F.encode(F.translate(src, _SHIFT_FROM, _SHIFT_TO), "utf-8"),
+        ).alias("payload"),
+    )
+    union = base.unionByName(copies).unionByName(shifted)
+    hashed = extract_image_ahash(union, src_col="src")
+    g = hashed.groupBy("src").agg(
+        F.countDistinct("ahash").alias("k"), F.count("*").alias("n")
+    )
+    return g.agg(
+        F.count("*").alias("n_src_groups"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias("n_violations"),
+    )
+
+
 def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
@@ -827,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "wav_features": _q_wav_features,
         "ppm_features": _q_ppm_features,
+        "ppm_resize": _q_ppm_resize,
+        "image_ahash_stats": _q_image_ahash_stats,
         "pricing_rollup": _q_pricing_rollup,
         "status_pivot": _q_status_pivot,
         "user_sessions": _q_user_sessions,
@@ -1128,6 +1202,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS BIGINT) AS height,
                    pixel_sum
             FROM sums
+        """,
+        "ppm_resize": """
+            -- nearest-neighbor 16x16 -> 8x8 is strided sampling: output cell
+            -- (i,j,c) reads payload byte (2i*16 + 2j)*3 + c (0-based)
+            WITH s AS (
+              SELECT doc_id,
+                     rpad(regexp_replace(text, '[^ -~]', '', 'g'), 768, ' ') AS a
+              FROM documents),
+            sums AS (
+              SELECT doc_id,
+                     CAST(SUM(unicode(substr(a,
+                       CAST((2*i*16 + 2*j)*3 + c + 1 AS INT), 1))) AS BIGINT)
+                       AS pixel_sum
+              FROM s, range(0, 8) ti(i), range(0, 8) tj(j), range(0, 3) tc(c)
+              GROUP BY doc_id)
+            SELECT doc_id AS media_id,
+                   CAST(8 AS BIGINT) AS width,
+                   CAST(8 AS BIGINT) AS height,
+                   pixel_sum
+            FROM sums
+        """,
+        "image_ahash_stats": """
+            WITH s AS (
+              SELECT doc_id,
+                     rpad(regexp_replace(text, '[^ -t]', '', 'g'), 768, ' ') AS src
+              FROM documents),
+            all_rows AS (
+              SELECT src FROM s
+              UNION ALL SELECT src FROM s WHERE doc_id < 50
+              UNION ALL SELECT src FROM s WHERE doc_id >= 50 AND doc_id < 100),
+            g AS (SELECT src, count(*) AS n FROM all_rows GROUP BY src)
+            SELECT CAST(count(*) AS BIGINT) AS n_src_groups,
+                   CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+                   CAST(0 AS BIGINT) AS n_violations
+            FROM g
         """,
         "media_metadata": """
             SELECT doc_id AS media_id,

@@ -190,6 +190,105 @@ def extract_ppm_features(df: DataFrame, payload_col: str = "payload") -> DataFra
     return df.mapInPandas(_extract, schema=PPM_FEATURE_SCHEMA)
 
 
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor image resize via integer index sampling (numpy-only,
+    deterministic): output cell (i, j) takes source pixel
+    (i*H // out_h, j*W // out_w). For exact integer downscale factors this is
+    plain strided sampling — e.g. 16×16 → 8×8 reads every other pixel —
+    which is what makes the resized pixel sums SQL-oracle-checkable."""
+    rows = (np.arange(out_h) * arr.shape[0]) // out_h
+    cols = (np.arange(out_w) * arr.shape[1]) // out_w
+    return arr[rows][:, cols]
+
+
+def ahash64(arr: np.ndarray, grid: int = 8) -> int:
+    """Perceptual average-hash: grayscale (channel mean) → nearest-resize to
+    grid×grid → bit k set iff cell k (row-major) > grid mean. 64-bit for the
+    default grid, returned as signed int64 to match Spark LongType.
+
+    Invariances that make it a *perceptual* fingerprint rather than a byte
+    hash: a uniform brightness shift moves every cell and the mean equally,
+    so the hash is unchanged; pixels not on the sampling grid don't
+    contribute, so sub-sample noise is ignored. Near-duplicates land within
+    a small Hamming distance, so the SimHash banding/CC machinery clusters
+    them unchanged (same 64-bit-fingerprint shape)."""
+    gray = (
+        arr.astype(np.float64).mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
+    )
+    cells = resize_nearest(gray, grid, grid).ravel()
+    bits = cells > cells.mean()
+    val = np.uint64(0)
+    for k in np.nonzero(bits)[0]:
+        val |= np.uint64(1) << np.uint64(int(k))
+    return int(val.astype(np.int64))
+
+
+RESIZED_SCHEMA = "media_id long, width long, height long, pixel_sum long"
+AHASH_SCHEMA = "media_id long, src string, ahash long"
+
+
+def extract_resized_ppm_features(
+    df: DataFrame, out_h: int, out_w: int, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL decode→resize over Arrow batches (mapInPandas, narrow): PPM/PGM
+    parse, nearest-neighbor resize, output dims + exact resized pixel sum."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                small = resize_nearest(decode_ppm(p), out_h, out_w)
+                recs.append(
+                    {
+                        "media_id": mid,
+                        "width": small.shape[1],
+                        "height": small.shape[0],
+                        "pixel_sum": int(small.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    return df.mapInPandas(_extract, schema=RESIZED_SCHEMA)
+
+
+def extract_image_ahash(
+    df: DataFrame, payload_col: str = "payload", src_col: str | None = None
+) -> DataFrame:
+    """Decode (PPM/PGM) → perceptual average-hash, one signed-int64
+    fingerprint per image. ``src_col`` (optional) is carried through for
+    planted-invariant oracles (group by source, assert one hash per group)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src": pdf[src_col] if src_col else pdf["media_id"].astype(str),
+                    "ahash": [ahash64(decode_ppm(p)) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    node_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-duplicate candidate pairs: decode → aHash → SimHash-style
+    16-bit banding → bucket join → exact Hamming verification. Reuses the
+    generic 64-bit-fingerprint machinery (extras/simhash.py), so the scale
+    shape is identical: bucketed, never all-pairs."""
+    from daft_minhash_dedupe_spark.extras.simhash import simhash_candidates
+
+    fp = extract_image_ahash(
+        df.select(F.col(node_col).alias("media_id"), payload_col)
+    ).select(F.col("media_id").alias(node_col), F.col("ahash"))
+    return simhash_candidates(fp, fp_col="ahash", node_col=node_col, max_hamming=max_hamming)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts) without
     decoding — the downstream decode stage consumes this exploded plan.

@@ -780,6 +780,92 @@ def test_wav_ppm_feature_extraction_distributed(spark):
     assert got == {mid: (4, 4, mid * 48) for mid in range(4)}
 
 
+def test_resize_nearest_and_ahash_unit():
+    import numpy as np
+
+    from daft_minhash_dedupe_spark.extras.multimodal import ahash64, resize_nearest
+
+    # 4x4 -> 2x2 integer downscale is strided sampling: picks (0,0),(0,2),(2,0),(2,2)
+    a = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert resize_nearest(a, 2, 2).tolist() == [[0, 2], [8, 10]]
+    # non-integer ratio still floor-maps: 3 -> 2 picks rows 0 and 1
+    assert resize_nearest(a[:3], 2, 4).tolist() == [a[0].tolist(), a[1].tolist()]
+
+    # hand-checked hash: 16x16 image, top half 200, bottom half 0 -> grid mean
+    # 100, top 4 rows of the 8x8 grid above mean = bits 0..31 set
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:8] = 200
+    h = ahash64(img)
+    assert h == int(np.uint64(0x00000000FFFFFFFF).astype(np.int64))
+
+    # uniform brightness shift leaves the hash unchanged (mean shifts equally)
+    assert ahash64(np.clip(img.astype(np.int16) + 30, 0, 255).astype(np.uint8)) == h
+    # pixels off the sampling grid (odd coords for 16->8) don't contribute
+    img2 = img.copy()
+    img2[1, 1] = 123
+    assert ahash64(img2) == h
+    # flipping one sampled cell far past the mean flips exactly that bit
+    img3 = img.copy()
+    img3[0, 0] = 0  # grid cell (0,0) drops below mean
+    assert bin(np.uint64(ahash64(img3)) ^ np.uint64(h)).count("1") <= 2
+
+
+def test_image_ahash_planted_invariance_distributed(spark):
+    """Identical and uniformly-brightened copies must hash identically
+    through the full mapInPandas path (the perceptual property the
+    image_ahash_stats driver oracle pins at sf scale)."""
+    import numpy as np
+
+    from daft_minhash_dedupe_spark.extras.multimodal import extract_image_ahash
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(10):
+        base = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+        for j, arr in enumerate([base, base.copy(), (base + 20).astype(np.uint8)]):
+            rows.append(
+                (i * 10 + j, f"src{i}", bytearray(b"P6\n16 16\n255\n" + arr.tobytes()))
+            )
+    df = spark.createDataFrame(rows, "media_id long, src string, payload binary")
+    out = extract_image_ahash(df, src_col="src").toPandas()
+    assert out.groupby("src")["ahash"].nunique().max() == 1
+    assert out["src"].nunique() == 10
+
+
+def test_image_near_dup_pairs(spark):
+    """aHash + SimHash banding + Hamming verify: a mildly perturbed copy
+    (one flipped grid cell) pairs with its source; unrelated structured
+    images don't."""
+    import numpy as np
+
+    from daft_minhash_dedupe_spark.extras.multimodal import image_near_dup_pairs
+
+    def block_img(pattern: np.ndarray) -> bytearray:
+        # 8x8 bit pattern -> 16x16 image of 0/200 blocks (values far from the
+        # mean so threshold jitter can't flip unrelated bits)
+        img = np.kron(pattern * 200, np.ones((2, 2), dtype=np.uint8))
+        img = np.repeat(img[:, :, None], 3, axis=2).astype(np.uint8)
+        return bytearray(b"P6\n16 16\n255\n" + img.tobytes())
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(8):
+        pat = rng.integers(0, 2, size=(8, 8)).astype(np.uint8)
+        rows.append((2 * i, block_img(pat)))
+        near = pat.copy()
+        near[0, 0] ^= 1  # one grid cell flipped -> small Hamming distance
+        rows.append((2 * i + 1, block_img(near)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        tuple(sorted((r["u"], r["v"])))
+        for r in image_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    want = {(2 * i, 2 * i + 1) for i in range(8)}
+    assert want <= pairs
+    # no cross-family merges: random 8x8 patterns differ in ~32 cells
+    assert all(a // 2 == b // 2 for a, b in pairs)
+
+
 def test_asof_join_split_buckets_equals_single_window(spark):
     """The hot-key mitigation path must return byte-identical results to the
     single-window path on a skewed input (one key holding ~all rows), and

@@ -473,6 +473,45 @@ def _q_image_ahash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-sign audio fingerprint invariants, mirroring image_ahash_stats:
+    each source WAV, an exact copy (doc_id < 50), and a +10 DC-offset copy
+    (doc_id in [50,100)) must fingerprint identically — window-mean deltas
+    cancel a constant offset. n_violations (src groups with >1 distinct
+    fingerprint) must be 0; group counts are SQL-derivable."""
+    from daft_minhash_dedupe_spark.extras.multimodal import (
+        extract_audio_fingerprint,
+    )
+
+    docs = _docs(spark, sf_dir)
+    src = F.rpad(F.regexp_replace("text", "[^ -t]", ""), 256, " ")
+    hdr = F.lit(_wav_header(256))
+    base = docs.select(
+        F.col("doc_id").alias("media_id"), src.alias("src"),
+        F.concat(hdr, F.encode(src, "utf-8")).alias("payload"),
+    )
+    copies = base.where(F.col("media_id") < 50).select(
+        (F.col("media_id") + 1_000_000).alias("media_id"), "src", "payload"
+    )
+    shifted = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + 2_000_000).alias("media_id"),
+        src.alias("src"),
+        F.concat(
+            hdr, F.encode(F.translate(src, _SHIFT_FROM, _SHIFT_TO), "utf-8")
+        ).alias("payload"),
+    )
+    union = base.unionByName(copies).unionByName(shifted)
+    hashed = extract_audio_fingerprint(union, src_col="src")
+    g = hashed.groupBy("src").agg(
+        F.countDistinct("afp").alias("k"), F.count("*").alias("n")
+    )
+    return g.agg(
+        F.count("*").alias("n_src_groups"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias("n_violations"),
+    )
+
+
 def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
@@ -901,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_features": _q_ppm_features,
         "ppm_resize": _q_ppm_resize,
         "image_ahash_stats": _q_image_ahash_stats,
+        "audio_fp_stats": _q_audio_fp_stats,
         "pricing_rollup": _q_pricing_rollup,
         "status_pivot": _q_status_pivot,
         "user_sessions": _q_user_sessions,
@@ -1227,6 +1267,21 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
               SELECT doc_id,
                      rpad(regexp_replace(text, '[^ -t]', '', 'g'), 768, ' ') AS src
+              FROM documents),
+            all_rows AS (
+              SELECT src FROM s
+              UNION ALL SELECT src FROM s WHERE doc_id < 50
+              UNION ALL SELECT src FROM s WHERE doc_id >= 50 AND doc_id < 100),
+            g AS (SELECT src, count(*) AS n FROM all_rows GROUP BY src)
+            SELECT CAST(count(*) AS BIGINT) AS n_src_groups,
+                   CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+                   CAST(0 AS BIGINT) AS n_violations
+            FROM g
+        """,
+        "audio_fp_stats": """
+            WITH s AS (
+              SELECT doc_id,
+                     rpad(regexp_replace(text, '[^ -t]', '', 'g'), 256, ' ') AS src
               FROM documents),
             all_rows AS (
               SELECT src FROM s

@@ -56,11 +56,9 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     )
 
 
-def decode_wav(payload: bytes) -> dict:
-    """REAL audio decode via stdlib ``wave``: parses the RIFF/WAVE header and
-    PCM frames. Returns sample_rate/n_channels/n_frames/duration_ms plus the
-    exact integer sum of all 8-bit samples (an oracle-checkable content
-    feature; 16-bit samples are summed as signed int16)."""
+def _wav_samples(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Parse a RIFF/WAVE payload with stdlib ``wave``: header params + the
+    raw PCM sample array (uint8 for 8-bit, little-endian int16 otherwise)."""
     with wave.open(io.BytesIO(payload), "rb") as w:
         sr, ch, width, n = (
             w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()
@@ -68,13 +66,46 @@ def decode_wav(payload: bytes) -> dict:
         frames = w.readframes(n)
     dtype = np.uint8 if width == 1 else np.dtype("<i2")
     samples = np.frombuffer(frames, dtype=dtype)
-    return {
+    params = {
         "sample_rate": sr,
         "n_channels": ch,
         "n_frames": n,
         "duration_ms": n * 1000 // sr,
-        "sample_sum": int(samples.astype(np.int64).sum()),
     }
+    return params, samples
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode via stdlib ``wave``: parses the RIFF/WAVE header and
+    PCM frames. Returns sample_rate/n_channels/n_frames/duration_ms plus the
+    exact integer sum of all 8-bit samples (an oracle-checkable content
+    feature; 16-bit samples are summed as signed int16)."""
+    params, samples = _wav_samples(payload)
+    return {**params, "sample_sum": int(samples.astype(np.int64).sum())}
+
+
+def audio_fp64(samples: np.ndarray, n_windows: int = 64) -> int:
+    """Perceptual audio fingerprint: split the sample stream into
+    ``n_windows`` equal-share windows, take each window's mean, and set bit k
+    iff mean[(k+1) mod n] > mean[k] (the circular delta-sign profile).
+
+    Differences of window means cancel any constant DC offset, so a
+    uniformly offset copy of the same audio fingerprints identically — the
+    analogue of aHash's brightness invariance, and the property the
+    ``audio_fp_stats`` driver oracle pins. Near-duplicates (a short local
+    perturbation) flip only the bits whose windows they touch, so the
+    SimHash banding + Hamming-verify machinery clusters them unchanged."""
+    x = samples.astype(np.float64)
+    n = len(x)
+    bounds = (np.arange(n_windows + 1) * n) // n_windows
+    sums = np.add.reduceat(x, bounds[:-1]) if n else np.zeros(n_windows)
+    counts = np.maximum(np.diff(bounds), 1)
+    means = sums / counts
+    bits = np.roll(means, -1) > means
+    val = np.uint64(0)
+    for k in np.nonzero(bits)[0]:
+        val |= np.uint64(1) << np.uint64(int(k))
+    return int(val.astype(np.int64))
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
@@ -269,6 +300,47 @@ def extract_image_ahash(
             )
 
     return df.mapInPandas(_extract, schema=AHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "media_id long, src string, afp long"
+
+
+def extract_audio_fingerprint(
+    df: DataFrame, payload_col: str = "payload", src_col: str | None = None
+) -> DataFrame:
+    """Decode (WAV) → delta-sign audio fingerprint, one signed-int64 per
+    payload. ``src_col`` is carried through for planted-invariant oracles."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src": pdf[src_col] if src_col else pdf["media_id"].astype(str),
+                    "afp": [
+                        audio_fp64(_wav_samples(p)[1]) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    node_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Audio near-duplicate candidate pairs over the same generic 64-bit
+    fingerprint machinery as SimHash / image aHash: banding bucket join +
+    exact Hamming verification — bucketed, never all-pairs."""
+    from daft_minhash_dedupe_spark.extras.simhash import simhash_candidates
+
+    fp = extract_audio_fingerprint(
+        df.select(F.col(node_col).alias("media_id"), payload_col)
+    ).select(F.col("media_id").alias(node_col), F.col("afp"))
+    return simhash_candidates(fp, fp_col="afp", node_col=node_col, max_hamming=max_hamming)
 
 
 def image_near_dup_pairs(

@@ -866,6 +866,60 @@ def test_image_near_dup_pairs(spark):
     assert all(a // 2 == b // 2 for a, b in pairs)
 
 
+def _wav_payload(samples) -> bytearray:
+    import io
+    import wave as wavemod
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+        w.writeframes(np.asarray(samples, dtype=np.uint8).tobytes())
+    return bytearray(buf.getvalue())
+
+
+def test_audio_fp64_unit():
+    import numpy as np
+
+    from daft_minhash_dedupe_spark.extras.multimodal import audio_fp64
+
+    # 8 windows of 1 sample each: bit k = x[(k+1)%8] > x[k], hand-checked
+    x = np.array([10, 20, 5, 5, 30, 10, 40, 40], dtype=np.uint8)
+    # deltas: 20>10 T, 5>20 F, 5>5 F, 30>5 T, 10>30 F, 40>10 T, 40>40 F, 10>40 F
+    assert audio_fp64(x, n_windows=8) == 0b0101001
+    # constant DC offset cancels in the deltas
+    assert audio_fp64(x + 50, n_windows=8) == audio_fp64(x, n_windows=8)
+    # 256 samples -> 64 windows of 4; offset invariance at the real shape
+    rng = np.random.default_rng(5)
+    y = rng.integers(0, 200, size=256, dtype=np.uint8)
+    assert audio_fp64(y) == audio_fp64(y + 20)
+
+
+def test_audio_near_dup_pairs(spark):
+    """A locally perturbed copy (one window rewritten) stays within Hamming 3
+    of its source and pairs up; unrelated random streams don't."""
+    import numpy as np
+
+    from daft_minhash_dedupe_spark.extras.multimodal import audio_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(8):
+        base = rng.integers(0, 200, size=256, dtype=np.uint8)
+        near = base.copy()
+        near[100:104] = 255  # exactly one 4-sample window -> <=2 delta bits
+        rows.append((2 * i, _wav_payload(base)))
+        rows.append((2 * i + 1, _wav_payload(near)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        tuple(sorted((r["u"], r["v"])))
+        for r in audio_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert {(2 * i, 2 * i + 1) for i in range(8)} <= pairs
+    assert all(a // 2 == b // 2 for a, b in pairs)
+
+
 def test_asof_join_split_buckets_equals_single_window(spark):
     """The hot-key mitigation path must return byte-identical results to the
     single-window path on a skewed input (one key holding ~all rows), and

@@ -920,6 +920,51 @@ def test_audio_near_dup_pairs(spark):
     assert all(a // 2 == b // 2 for a, b in pairs)
 
 
+def test_asof_join_random_vs_bruteforce(spark):
+    """Randomized property: for every left row, asof value equals the
+    brute-force 'latest right row with ts <= left.ts and same key' (with the
+    documented tie-break: max value among equal-latest-ts rows). Both the
+    single-window and split_buckets paths must match it."""
+    import datetime as dt
+    import random
+
+    from daft_minhash_dedupe_spark.extras.temporal import asof_join
+
+    rng = random.Random(17)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def stamp(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    lrows = [
+        (i, rng.randint(0, 4), stamp(rng.randint(0, 200))) for i in range(120)
+    ]
+    rrows = [
+        (rng.randint(0, 4), stamp(rng.randint(0, 200)), rng.randint(0, 999))
+        for _ in range(80)
+    ]
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(rrows, "user_id long, ts timestamp, v long")
+
+    def brute(k, ts):
+        cands = [(rts, v) for (rk, rts, v) in rrows if rk == k and rts <= ts]
+        if not cands:
+            return None
+        latest = max(rts for rts, _ in cands)
+        return max(v for rts, v in cands if rts == latest)
+
+    want = {eid: brute(k, ts) for eid, k, ts in lrows}
+    for sb in (None, 7):
+        got = {
+            r["event_id"]: r["v_asof"]
+            for r in asof_join(
+                left, right, key="user_id", ts="ts", value_cols=["v"],
+                split_buckets=sb,
+            ).collect()
+        }
+        assert got == want, f"split_buckets={sb}"
+
+
 def test_asof_join_split_buckets_equals_single_window(spark):
     """The hot-key mitigation path must return byte-identical results to the
     single-window path on a skewed input (one key holding ~all rows), and

@@ -141,6 +141,52 @@ def test_canonical_url(spark):
         assert r["got"] == r["want"], f'{r["url"]}: {r["got"]} != {r["want"]}'
 
 
+def test_canonical_url_properties(spark):
+    """Randomized structural properties over ~400 generated URLs, one Spark
+    job: canonicalization is idempotent, never leaves a fragment, a bare
+    tracking param, or ?&/&&/trailing-& residue, and preserves every
+    non-tracking param (including tracking-name lookalikes) verbatim."""
+    import random
+    import re
+
+    from daft_minhash_dedupe_spark.functions.url import canonical_url
+
+    rng = random.Random(42)
+    tracking = ["utm_source=a", "utm_b=2", "fbclid=xx", "gclid=1", "mc_cid=9"]
+    keepers = ["id=7", "q=hello", "foo_gclid=5", "my_utm_source=1", "page=2"]
+    urls = []
+    for _ in range(400):
+        scheme = rng.choice(["http", "https", "HTTP", "HTTPS"])
+        host = rng.choice(["Example.COM", "a.b.example", "x.io"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/p", "/p/q", "/p/"])
+        params = rng.sample(tracking, rng.randint(0, 3)) + rng.sample(
+            keepers, rng.randint(0, 3)
+        )
+        rng.shuffle(params)
+        query = "?" + "&".join(params) if params else rng.choice(["", "?"])
+        frag = rng.choice(["", "#top", "#a/b?c=1"])
+        urls.append(scheme + "://" + host + port + path + query + frag)
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonical_url(F.col("url"))
+    rows = df.select(
+        "url", once.alias("c1"), canonical_url(once).alias("c2")
+    ).collect()
+    bare_tracking = re.compile(r"[?&](utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid)=")
+    for r in rows:
+        u, c1, c2 = r["url"], r["c1"], r["c2"]
+        assert c1 == c2, f"not idempotent: {u} -> {c1} -> {c2}"
+        assert "#" not in c1, (u, c1)
+        assert not bare_tracking.search(c1), (u, c1)
+        assert "&&" not in c1 and "?&" not in c1, (u, c1)
+        assert not c1.endswith(("&", "?")), (u, c1)
+        kept = [p for p in u.split("#")[0].partition("?")[2].split("&") if p]
+        for p in kept:
+            if not bare_tracking.match("?" + p) and p:
+                assert p in c1, f"dropped non-tracking param {p}: {u} -> {c1}"
+
+
 def test_html_to_text(spark):
     html = """<html><head><style>.x{color:red}</style><script>var a=1;</script>
     <title>Title</title></head>

@@ -566,6 +566,21 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline end-to-end (extras/curate.py): quality
+    gate -> English filter -> exact dedup -> 13-gram decontamination against
+    the doc_id<25 eval slice. Every stage's logic is mirrored in the oracle,
+    so this row certifies the COMPOSITION (stage order and inter-stage
+    dataflow), not just the parts."""
+    from daft_minhash_dedupe_spark.extras.curate import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") >= 25)
+    bench = docs.where(F.col("doc_id") < 25)
+    out = curate_corpus(corpus, bench, min_quality=0.5, languages=("en",))
+    return out.select("doc_id", "lang", "quality")
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition: duplicate 3-gram fraction."""
     from daft_minhash_dedupe_spark.extras.text_analysis import (
@@ -949,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase": _q_asof_purchase,
         "asof_purchase_split": _q_asof_purchase_split,
         "contamination_pairs": _q_contamination,
+        "curated_corpus": _q_curated_corpus,
         "repetition_stats": _q_repetition_stats,
         "curation_filter": _q_curation_filter,
         "lang_id": _q_lang_id,
@@ -1144,6 +1160,57 @@ def oracle_sql() -> dict[str, str]:
                      ELSE len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END), 6) AS quality
               FROM t)
             SELECT doc_id, quality FROM q WHERE quality >= 0.5
+        """,
+        "curated_corpus": f"""
+            WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+            q AS (
+              SELECT doc_id, text, toks,
+                round(least(len(toks) / 20.0, 1.0)
+                  * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                           ELSE (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))
+                                / CAST(length(text) AS DOUBLE) END)
+                  * (CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END), 6) AS quality
+              FROM t),
+            l AS (
+              SELECT doc_id,
+                CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > length(text) * 0.25 THEN 'zh'
+                     WHEN best.hits > 0 THEN best.lang
+                     ELSE 'und' END AS lang
+              FROM (
+                SELECT doc_id, text,
+                  list_max([
+                    {{'hits': len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], x))), 'lang': 'en'}},
+                    {{'hits': len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains(['le','la','les','de','des','et','est','une','que','pour'], x))), 'lang': 'fr'}},
+                    {{'hits': len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains(['el','los','las','de','y','es','una','que','por','con'], x))), 'lang': 'es'}},
+                    {{'hits': len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','für'], x))), 'lang': 'de'}},
+                    {{'hits': len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains(['的','是','了','在','和','有','我','不','这','为'], x))), 'lang': 'zh'}}
+                  ]) AS best
+                FROM t) s),
+            surv1 AS (
+              SELECT q.doc_id, q.text, q.toks, q.quality, l.lang
+              FROM q JOIN l USING (doc_id)
+              WHERE q.doc_id >= 25 AND q.quality >= 0.5 AND l.lang = 'en'),
+            keep AS (
+              SELECT min(doc_id) AS doc_id FROM surv1 GROUP BY md5(text)),
+            surv2 AS (SELECT s.* FROM surv1 s JOIN keep USING (doc_id)),
+            cw AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(toks) = 0 THEN []
+                     WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(toks) - 11),
+                          i -> array_to_string(toks[i:i+12], ' '))) END) AS win
+              FROM surv2),
+            bw AS (
+              SELECT unnest(
+                CASE WHEN len(toks) = 0 THEN []
+                     WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(toks) - 11),
+                          i -> array_to_string(toks[i:i+12], ' '))) END) AS win
+              FROM t WHERE doc_id < 25),
+            bad AS (SELECT DISTINCT cw.doc_id FROM cw JOIN bw USING (win))
+            SELECT doc_id, lang, quality FROM surv2
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         "lang_id": f"""
             WITH t AS (SELECT doc_id, text,

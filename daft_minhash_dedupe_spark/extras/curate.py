@@ -1,0 +1,61 @@
+"""One-call training-data curation: the composed pipeline a 100-TB webtext
+run would execute, built from the standalone operators so each stage keeps
+its own tests and oracle.
+
+Stage order is chosen for scale, not convenience:
+
+1. quality gate + language filter — pure Catalyst expressions, evaluated in
+   the scan stage (no shuffle); they run FIRST so every shuffling stage
+   downstream sees only the surviving fraction.
+2. exact dedup — one groupBy on a 128-bit content digest (map-side partial
+   aggregation, no text shuffled, only digests).
+3. benchmark decontamination — broadcast inverted-index join against the
+   (small) eval set's 13-gram windows; the corpus is scanned once, never
+   self-joined.
+
+Near-duplicate (MinHash/LSH) dedup intentionally stays OUTSIDE this
+function: it is the expensive stage, and the operational pattern at scale
+is to run ``curate_corpus`` first (cheap gates shrink the corpus), then the
+flagship ``MinHashDedupePipeline`` on the survivors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from daft_minhash_dedupe_spark.extras.decontaminate import decontaminate
+from daft_minhash_dedupe_spark.extras.exact_dedupe import exact_dedupe
+from daft_minhash_dedupe_spark.extras.text_analysis import (
+    language_id,
+    quality_score,
+)
+
+
+def curate_corpus(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    languages: Sequence[str] = ("en",),
+    ngram: int = 13,
+) -> DataFrame:
+    """Quality gate → language filter → exact dedup (keep min id per
+    content) → 13-gram benchmark decontamination. Returns the surviving rows
+    with ``quality`` and ``lang`` columns attached."""
+    out = (
+        df.withColumn("quality", quality_score(F.col(text_col)))
+        .withColumn("lang", language_id(F.col(text_col)))
+        .where(
+            (F.col("quality") >= min_quality) & F.col("lang").isin(*languages)
+        )
+    )
+    out = exact_dedupe(out, text_col, id_col)
+    if benchmark is not None:
+        out = decontaminate(
+            out, benchmark, ngram=ngram, text_col=text_col, id_col=id_col
+        )
+    return out

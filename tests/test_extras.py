@@ -866,6 +866,30 @@ def test_image_near_dup_pairs(spark):
     assert all(a // 2 == b // 2 for a, b in pairs)
 
 
+def test_curate_corpus_each_gate(spark):
+    """Every stage of the composed curation pipeline drops exactly its
+    target: low quality, wrong language, exact duplicate, contaminated."""
+    from daft_minhash_dedupe_spark.extras.curate import curate_corpus
+
+    good = "the quick brown fox jumps over the lazy dog and runs to the old mill with great speed for fun"
+    rows = [
+        (10, good),                                     # survives
+        (11, "!!! ??? !!!"),                            # quality gate
+        (12, "le chat est sur la table et il est pour une sieste dans la maison que nous avons pour le reste"),  # language gate (fr)
+        (13, good),                                     # exact dup of 10
+        (14, "the panel said this exact secret benchmark sentence appears verbatim in it for the eval set with care"),  # contaminated
+        (15, "an entirely different clean document that is long enough to pass the length gate with many distinct words here"),  # survives
+    ]
+    bench = [(1, "the panel said this exact secret benchmark sentence appears verbatim in it for the eval set with care")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    out = curate_corpus(df, bdf, min_quality=0.5, languages=("en",))
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [10, 15]
+    cols = set(out.columns)
+    assert {"doc_id", "text", "quality", "lang"} <= cols
+
+
 def _wav_payload(samples) -> bytearray:
     import io
     import wave as wavemod

@@ -473,6 +473,38 @@ def _q_image_ahash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs, fully SQL-adjudicated: with 4 bands over
+    64 bits, pigeonhole makes banding recall exactly 1.0 at Hamming <= 3, and
+    aHash is all-integer arithmetic — so the operator's output must equal
+    DuckDB's brute-force 'all pairs with Hamming(ahash) <= 3' recomputed from
+    the same payload bytes. Planted: 50 exact copies (hash-identical) plus 50
+    perturbed copies (first 12 bytes overwritten — lands wherever the true
+    Hamming distance lands; both engines agree either way)."""
+    from daft_minhash_dedupe_spark.extras.multimodal import image_near_dup_pairs
+
+    docs = _docs(spark, sf_dir)
+    a = F.rpad(F.regexp_replace("text", "[^ -~]", ""), 768, " ")
+    base = docs.select(F.col("doc_id").alias("media_id"), a.alias("a"))
+    copies = base.where(F.col("media_id") < 50).select(
+        (F.col("media_id") + 1_000_000).alias("media_id"), "a"
+    )
+    pert = base.where((F.col("media_id") >= 50) & (F.col("media_id") < 100)).select(
+        (F.col("media_id") + 2_000_000).alias("media_id"),
+        F.concat(F.lit("!" * 12), F.substring("a", 13, 756)).alias("a"),
+    )
+    union = base.unionByName(copies).unionByName(pert)
+    media = union.select(
+        "media_id",
+        F.concat(F.lit(b"P6\n16 16\n255\n"), F.encode("a", "utf-8")).alias("payload"),
+    )
+    # max_bucket_pairwise lifted so degenerate texts (hash-identical buckets)
+    # stay on the exact pairwise path — required for pair-exact oracle parity
+    return image_near_dup_pairs(
+        media, max_hamming=3, max_bucket_pairwise=1_000_000
+    ).select("u", "v")
+
+
 def _q_audio_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-sign audio fingerprint invariants, mirroring image_ahash_stats:
     each source WAV, an exact copy (doc_id < 50), and a +10 DC-offset copy
@@ -955,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_features": _q_ppm_features,
         "ppm_resize": _q_ppm_resize,
         "image_ahash_stats": _q_image_ahash_stats,
+        "image_near_dup": _q_image_near_dup,
         "audio_fp_stats": _q_audio_fp_stats,
         "pricing_rollup": _q_pricing_rollup,
         "status_pivot": _q_status_pivot,
@@ -1344,6 +1377,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
                    CAST(0 AS BIGINT) AS n_violations
             FROM g
+        """,
+        "image_near_dup": """
+            WITH s AS (
+              SELECT doc_id AS media_id,
+                     rpad(regexp_replace(text, '[^ -~]', '', 'g'), 768, ' ') AS a
+              FROM documents),
+            all_rows AS (
+              SELECT media_id, a FROM s
+              UNION ALL SELECT media_id + 1000000, a FROM s WHERE media_id < 50
+              UNION ALL SELECT media_id + 2000000, '!!!!!!!!!!!!' || substr(a, 13)
+                FROM s WHERE media_id >= 50 AND media_id < 100),
+            cells AS (
+              SELECT media_id,
+                list_transform(range(0, 64), k ->
+                  unicode(substr(a, CAST((2*(k//8)*16 + 2*(k%8))*3 + 1 AS INT), 1))
+                  + unicode(substr(a, CAST((2*(k//8)*16 + 2*(k%8))*3 + 2 AS INT), 1))
+                  + unicode(substr(a, CAST((2*(k//8)*16 + 2*(k%8))*3 + 3 AS INT), 1))) AS g
+              FROM all_rows),
+            packed AS (
+              SELECT media_id,
+                CAST(list_sum(list_transform(range(0, 32), k ->
+                  CASE WHEN 64 * g[CAST(k AS INT) + 1] > list_sum(g)
+                       THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS lo,
+                CAST(list_sum(list_transform(range(0, 32), k ->
+                  CASE WHEN 64 * g[CAST(k AS INT) + 33] > list_sum(g)
+                       THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS hi
+              FROM cells)
+            SELECT u.media_id AS u, v.media_id AS v
+            FROM packed u JOIN packed v ON u.media_id < v.media_id
+            WHERE bit_count(xor(u.lo, v.lo)) + bit_count(xor(u.hi, v.hi)) <= 3
         """,
         "audio_fp_stats": """
             WITH s AS (

@@ -242,12 +242,20 @@ def ahash64(arr: np.ndarray, grid: int = 8) -> int:
     so the hash is unchanged; pixels not on the sampling grid don't
     contribute, so sub-sample noise is ignored. Near-duplicates land within
     a small Hamming distance, so the SimHash banding/CC machinery clusters
-    them unchanged (same 64-bit-fingerprint shape)."""
+    them unchanged (same 64-bit-fingerprint shape).
+
+    All-integer arithmetic: the threshold `cell > mean` is evaluated as
+    `n_cells * channel_sum(cell) > total_sum` (channel SUM is a monotone
+    scaling of the channel mean, and clearing the denominators keeps every
+    comparison exact) — so an independent engine recomputing the hash from
+    the same bytes gets bit-identical results, with no float-tie hazard.
+    This is what lets the `image_near_dup` driver oracle recompute the hash
+    in SQL."""
     gray = (
-        arr.astype(np.float64).mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
+        arr.astype(np.int64).sum(axis=2) if arr.ndim == 3 else arr.astype(np.int64)
     )
     cells = resize_nearest(gray, grid, grid).ravel()
-    bits = cells > cells.mean()
+    bits = cells * len(cells) > cells.sum()
     val = np.uint64(0)
     for k in np.nonzero(bits)[0]:
         val |= np.uint64(1) << np.uint64(int(k))
@@ -348,17 +356,30 @@ def image_near_dup_pairs(
     payload_col: str = "payload",
     node_col: str = "media_id",
     max_hamming: int = 3,
+    max_bucket_pairwise: int = 64,
 ) -> DataFrame:
     """Image near-duplicate candidate pairs: decode → aHash → SimHash-style
     16-bit banding → bucket join → exact Hamming verification. Reuses the
     generic 64-bit-fingerprint machinery (extras/simhash.py), so the scale
-    shape is identical: bucketed, never all-pairs."""
+    shape is identical: bucketed, never all-pairs.
+
+    With 4 bands over 64 bits, pigeonhole guarantees recall 1.0 for
+    ``max_hamming <= 3`` (≤3 flipped bits leave ≥1 of 4 bands intact), so as
+    long as no bucket overflows ``max_bucket_pairwise`` (which switches hot
+    buckets to star edges), the output is EXACTLY the set of all pairs with
+    Hamming ≤ 3 — the property the SQL oracle checks pair-for-pair."""
     from daft_minhash_dedupe_spark.extras.simhash import simhash_candidates
 
     fp = extract_image_ahash(
         df.select(F.col(node_col).alias("media_id"), payload_col)
     ).select(F.col("media_id").alias(node_col), F.col("ahash"))
-    return simhash_candidates(fp, fp_col="ahash", node_col=node_col, max_hamming=max_hamming)
+    return simhash_candidates(
+        fp,
+        fp_col="ahash",
+        node_col=node_col,
+        max_hamming=max_hamming,
+        max_bucket_pairwise=max_bucket_pairwise,
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -128,6 +128,7 @@ def simhash_candidates(
     fp_col: str = "simhash",
     node_col: str = "node_id",
     max_hamming: int = 3,
+    max_bucket_pairwise: int = 64,
 ) -> DataFrame:
     """Near-dup candidate pairs: band-bucket join, then exact Hamming filter.
 
@@ -137,7 +138,7 @@ def simhash_candidates(
     from daft_minhash_dedupe_spark.operators.edges import build_pair_edges_from_buckets
 
     bands = simhash_bands(df, fp_col, node_col)
-    edges = build_pair_edges_from_buckets(bands)
+    edges = build_pair_edges_from_buckets(bands, max_bucket_pairwise=max_bucket_pairwise)
     fa = df.select(F.col(node_col).alias("u"), F.col(fp_col).alias("_fa"))
     fb = df.select(F.col(node_col).alias("v"), F.col(fp_col).alias("_fb"))
     return (

@@ -544,6 +544,39 @@ def _q_audio_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs, pair-exact vs SQL: for the fixed
+    256-sample payloads the 64 windows are equal-sized, so the delta-sign
+    bits reduce to integer window-sum comparisons DuckDB can replay from the
+    same bytes; 4-band pigeonhole again guarantees recall 1.0 at Hamming <=
+    3, so the operator output equals brute-force all-pairs-Hamming<=3.
+    Planted: 50 exact copies + 50 DC-offset copies (offset cancels -> Hamming
+    0, so the offset pairs MUST appear — a stronger planted check than the
+    stats row)."""
+    from daft_minhash_dedupe_spark.extras.multimodal import audio_near_dup_pairs
+
+    docs = _docs(spark, sf_dir)
+    src = F.rpad(F.regexp_replace("text", "[^ -t]", ""), 256, " ")
+    hdr = F.lit(_wav_header(256))
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(hdr, F.encode(src, "utf-8")).alias("payload"),
+    )
+    copies = base.where(F.col("media_id") < 50).select(
+        (F.col("media_id") + 1_000_000).alias("media_id"), "payload"
+    )
+    shifted = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + 2_000_000).alias("media_id"),
+        F.concat(
+            hdr, F.encode(F.translate(src, _SHIFT_FROM, _SHIFT_TO), "utf-8")
+        ).alias("payload"),
+    )
+    union = base.unionByName(copies).unionByName(shifted)
+    return audio_near_dup_pairs(
+        union, max_hamming=3, max_bucket_pairwise=1_000_000
+    ).select("u", "v")
+
+
 def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
@@ -989,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_stats": _q_image_ahash_stats,
         "image_near_dup": _q_image_near_dup,
         "audio_fp_stats": _q_audio_fp_stats,
+        "audio_near_dup": _q_audio_near_dup,
         "pricing_rollup": _q_pricing_rollup,
         "status_pivot": _q_status_pivot,
         "user_sessions": _q_user_sessions,
@@ -1422,6 +1456,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
                    CAST(0 AS BIGINT) AS n_violations
             FROM g
+        """,
+        "audio_near_dup": f"""
+            WITH s AS (
+              SELECT doc_id AS media_id,
+                     rpad(regexp_replace(text, '[^ -t]', '', 'g'), 256, ' ') AS a
+              FROM documents),
+            all_rows AS (
+              SELECT media_id, a FROM s
+              UNION ALL SELECT media_id + 1000000, a FROM s WHERE media_id < 50
+              UNION ALL SELECT media_id + 2000000,
+                        translate(a, '{_SHIFT_FROM.replace("'", "''")}',
+                                     '{_SHIFT_TO.replace("'", "''")}')
+                FROM s WHERE media_id >= 50 AND media_id < 100),
+            w AS (
+              SELECT media_id,
+                list_transform(range(0, 64), k ->
+                  unicode(substr(a, CAST(4*k + 1 AS INT), 1))
+                  + unicode(substr(a, CAST(4*k + 2 AS INT), 1))
+                  + unicode(substr(a, CAST(4*k + 3 AS INT), 1))
+                  + unicode(substr(a, CAST(4*k + 4 AS INT), 1))) AS w
+              FROM all_rows),
+            packed AS (
+              SELECT media_id,
+                CAST(list_sum(list_transform(range(0, 32), k ->
+                  CASE WHEN w[CAST((k + 1) % 64 AS INT) + 1] > w[CAST(k AS INT) + 1]
+                       THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS lo,
+                CAST(list_sum(list_transform(range(32, 64), k ->
+                  CASE WHEN w[CAST((k + 1) % 64 AS INT) + 1] > w[CAST(k AS INT) + 1]
+                       THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END)) AS BIGINT) AS hi
+              FROM w)
+            SELECT u.media_id AS u, v.media_id AS v
+            FROM packed u JOIN packed v ON u.media_id < v.media_id
+            WHERE bit_count(xor(u.lo, v.lo)) + bit_count(xor(u.hi, v.hi)) <= 3
         """,
         "media_metadata": """
             SELECT doc_id AS media_id,

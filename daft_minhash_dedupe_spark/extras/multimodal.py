@@ -339,6 +339,7 @@ def audio_near_dup_pairs(
     payload_col: str = "payload",
     node_col: str = "media_id",
     max_hamming: int = 3,
+    max_bucket_pairwise: int = 64,
 ) -> DataFrame:
     """Audio near-duplicate candidate pairs over the same generic 64-bit
     fingerprint machinery as SimHash / image aHash: banding bucket join +
@@ -348,7 +349,13 @@ def audio_near_dup_pairs(
     fp = extract_audio_fingerprint(
         df.select(F.col(node_col).alias("media_id"), payload_col)
     ).select(F.col("media_id").alias(node_col), F.col("afp"))
-    return simhash_candidates(fp, fp_col="afp", node_col=node_col, max_hamming=max_hamming)
+    return simhash_candidates(
+        fp,
+        fp_col="afp",
+        node_col=node_col,
+        max_hamming=max_hamming,
+        max_bucket_pairwise=max_bucket_pairwise,
+    )
 
 
 def image_near_dup_pairs(

@@ -484,14 +484,27 @@ def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daft_minhash_dedupe_spark.extras.multimodal import image_near_dup_pairs
 
     docs = _docs(spark, sf_dir)
-    a = F.rpad(F.regexp_replace("text", "[^ -~]", ""), 768, " ")
+    # pixels from an md5 chain (replayable in DuckDB) rather than raw text
+    # bytes: ASCII text images are massively correlated under aHash (one
+    # band bucket held the ENTIRE sf0.1 corpus and the true Hamming<=3
+    # answer was ~2M pairs) — hash-derived pixels decorrelate the
+    # fingerprints so the certified pair set is the planted one
+    a = F.concat(
+        *[
+            F.md5(F.encode(F.concat(F.col("text"), F.lit(f"|{i}")), "utf-8"))
+            for i in range(24)
+        ]
+    )
     base = docs.select(F.col("doc_id").alias("media_id"), a.alias("a"))
     copies = base.where(F.col("media_id") < 50).select(
         (F.col("media_id") + 1_000_000).alias("media_id"), "a"
     )
+    # overwrite ONE sampled cell (first 3 bytes): flips that bit plus any
+    # mean-borderline bits — wherever the true distance lands, both engines
+    # compute it identically
     pert = base.where((F.col("media_id") >= 50) & (F.col("media_id") < 100)).select(
         (F.col("media_id") + 2_000_000).alias("media_id"),
-        F.concat(F.lit("!" * 12), F.substring("a", 13, 756)).alias("a"),
+        F.concat(F.lit("!!!"), F.substring("a", 4, 765)).alias("a"),
     )
     union = base.unionByName(copies).unionByName(pert)
     media = union.select(
@@ -1415,12 +1428,12 @@ def oracle_sql() -> dict[str, str]:
         "image_near_dup": """
             WITH s AS (
               SELECT doc_id AS media_id,
-                     rpad(regexp_replace(text, '[^ -~]', '', 'g'), 768, ' ') AS a
+                     """ + " || ".join(f"md5(text || '|{i}')" for i in range(24)) + """ AS a
               FROM documents),
             all_rows AS (
               SELECT media_id, a FROM s
               UNION ALL SELECT media_id + 1000000, a FROM s WHERE media_id < 50
-              UNION ALL SELECT media_id + 2000000, '!!!!!!!!!!!!' || substr(a, 13)
+              UNION ALL SELECT media_id + 2000000, '!!!' || substr(a, 4)
                 FROM s WHERE media_id >= 50 AND media_id < 100),
             cells AS (
               SELECT media_id,

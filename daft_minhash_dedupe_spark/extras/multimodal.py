@@ -185,38 +185,63 @@ def extract_media_features(
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
-def extract_wav_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def _decode_rows(pdf, payload_col, decode_one, null_fields, on_error):
+    """Shared permissive-decode loop for the media extractors.
+
+    A 100-TB corpus WILL contain corrupt payloads, and a single bad row must
+    not kill the job: ``on_error='fail'`` re-raises (default — correct for
+    trusted fixtures), ``'skip'`` drops the row, ``'null'`` keeps the row
+    with null feature fields so corruption stays countable downstream."""
+    recs = []
+    for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+        try:
+            r = decode_one(p)
+        except Exception:
+            if on_error == "fail":
+                raise
+            if on_error == "skip":
+                continue
+            r = {k: None for k in null_fields}
+        recs.append({"media_id": mid, **r})
+    # object dtype keeps None intact for Arrow's schema-directed conversion
+    return pd.DataFrame(
+        recs, columns=["media_id", *null_fields], dtype=object
+    )
+
+
+def extract_wav_features(
+    df: DataFrame, payload_col: str = "payload", on_error: str = "fail"
+) -> DataFrame:
     """REAL WAV decoding over Arrow batches (mapInPandas, narrow — no
     shuffle): header params + exact PCM sample sum per payload."""
+    fields = ("sample_rate", "n_channels", "n_frames", "duration_ms", "sample_sum")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [decode_wav(p) for p in pdf[payload_col]]
-            out = pd.DataFrame(rows)
-            out.insert(0, "media_id", pdf["media_id"].values)
-            yield out
+            yield _decode_rows(pdf, payload_col, decode_wav, fields, on_error)
 
     return df.mapInPandas(_extract, schema=WAV_FEATURE_SCHEMA)
 
 
-def extract_ppm_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def extract_ppm_features(
+    df: DataFrame, payload_col: str = "payload", on_error: str = "fail"
+) -> DataFrame:
     """REAL PPM/PGM decoding over Arrow batches: dimensions + exact pixel
     sum per payload."""
 
+    def _one(p):
+        arr = decode_ppm(p)
+        return {
+            "width": arr.shape[1],
+            "height": arr.shape[0],
+            "pixel_sum": int(arr.astype(np.int64).sum()),
+        }
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs = []
-            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
-                arr = decode_ppm(p)
-                recs.append(
-                    {
-                        "media_id": mid,
-                        "width": arr.shape[1],
-                        "height": arr.shape[0],
-                        "pixel_sum": int(arr.astype(np.int64).sum()),
-                    }
-                )
-            yield pd.DataFrame(recs)
+            yield _decode_rows(
+                pdf, payload_col, _one, ("width", "height", "pixel_sum"), on_error
+            )
 
     return df.mapInPandas(_extract, schema=PPM_FEATURE_SCHEMA)
 
@@ -267,31 +292,56 @@ AHASH_SCHEMA = "media_id long, src string, ahash long"
 
 
 def extract_resized_ppm_features(
-    df: DataFrame, out_h: int, out_w: int, payload_col: str = "payload"
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    payload_col: str = "payload",
+    on_error: str = "fail",
 ) -> DataFrame:
     """REAL decode→resize over Arrow batches (mapInPandas, narrow): PPM/PGM
     parse, nearest-neighbor resize, output dims + exact resized pixel sum."""
 
+    def _one(p):
+        small = resize_nearest(decode_ppm(p), out_h, out_w)
+        return {
+            "width": small.shape[1],
+            "height": small.shape[0],
+            "pixel_sum": int(small.astype(np.int64).sum()),
+        }
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs = []
-            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
-                small = resize_nearest(decode_ppm(p), out_h, out_w)
-                recs.append(
-                    {
-                        "media_id": mid,
-                        "width": small.shape[1],
-                        "height": small.shape[0],
-                        "pixel_sum": int(small.astype(np.int64).sum()),
-                    }
-                )
-            yield pd.DataFrame(recs)
+            yield _decode_rows(
+                pdf, payload_col, _one, ("width", "height", "pixel_sum"), on_error
+            )
 
     return df.mapInPandas(_extract, schema=RESIZED_SCHEMA)
 
 
+def _fingerprint_rows(pdf, payload_col, src_col, out_col, fp_one, on_error):
+    """Permissive-decode loop for the fingerprint extractors (which carry a
+    ``src`` passthrough column): same fail/skip/null semantics as
+    ``_decode_rows``."""
+    srcs = pdf[src_col] if src_col else pdf["media_id"].astype(str)
+    recs = []
+    for mid, src, p in zip(pdf["media_id"], srcs, pdf[payload_col]):
+        try:
+            fp = fp_one(p)
+        except Exception:
+            if on_error == "fail":
+                raise
+            if on_error == "skip":
+                continue
+            fp = None
+        recs.append({"media_id": mid, "src": src, out_col: fp})
+    return pd.DataFrame(recs, columns=["media_id", "src", out_col], dtype=object)
+
+
 def extract_image_ahash(
-    df: DataFrame, payload_col: str = "payload", src_col: str | None = None
+    df: DataFrame,
+    payload_col: str = "payload",
+    src_col: str | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Decode (PPM/PGM) → perceptual average-hash, one signed-int64
     fingerprint per image. ``src_col`` (optional) is carried through for
@@ -299,12 +349,9 @@ def extract_image_ahash(
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "src": pdf[src_col] if src_col else pdf["media_id"].astype(str),
-                    "ahash": [ahash64(decode_ppm(p)) for p in pdf[payload_col]],
-                }
+            yield _fingerprint_rows(
+                pdf, payload_col, src_col, "ahash",
+                lambda p: ahash64(decode_ppm(p)), on_error,
             )
 
     return df.mapInPandas(_extract, schema=AHASH_SCHEMA)
@@ -314,21 +361,19 @@ AUDIO_FP_SCHEMA = "media_id long, src string, afp long"
 
 
 def extract_audio_fingerprint(
-    df: DataFrame, payload_col: str = "payload", src_col: str | None = None
+    df: DataFrame,
+    payload_col: str = "payload",
+    src_col: str | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Decode (WAV) → delta-sign audio fingerprint, one signed-int64 per
     payload. ``src_col`` is carried through for planted-invariant oracles."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "src": pdf[src_col] if src_col else pdf["media_id"].astype(str),
-                    "afp": [
-                        audio_fp64(_wav_samples(p)[1]) for p in pdf[payload_col]
-                    ],
-                }
+            yield _fingerprint_rows(
+                pdf, payload_col, src_col, "afp",
+                lambda p: audio_fp64(_wav_samples(p)[1]), on_error,
             )
 
     return df.mapInPandas(_extract, schema=AUDIO_FP_SCHEMA)

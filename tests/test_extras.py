@@ -903,6 +903,43 @@ def _wav_payload(samples) -> bytearray:
     return bytearray(buf.getvalue())
 
 
+def test_media_decode_on_error_modes(spark):
+    """A corrupt payload among good ones: 'fail' raises, 'skip' drops the
+    row, 'null' keeps it with null feature fields — a single bad file must
+    never kill a corpus-scale job unless asked to."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from daft_minhash_dedupe_spark.extras.multimodal import (
+        extract_image_ahash,
+        extract_ppm_features,
+        extract_wav_features,
+    )
+
+    pix = np.full(4 * 4 * 3, 7, dtype=np.uint8)
+    good = bytearray(b"P6\n4 4\n255\n" + pix.tobytes())
+    bad = bytearray(b"NOTANIMAGE")
+    df = spark.createDataFrame(
+        [(1, good), (2, bad), (3, good)], "media_id long, payload binary"
+    )
+
+    with _pytest.raises(PythonException):
+        extract_ppm_features(df).collect()
+    assert sorted(
+        r["media_id"] for r in extract_ppm_features(df, on_error="skip").collect()
+    ) == [1, 3]
+    rows = {r["media_id"]: r for r in extract_ppm_features(df, on_error="null").collect()}
+    assert rows[2]["pixel_sum"] is None and rows[1]["pixel_sum"] == 48 * 7
+    rows = {r["media_id"]: r for r in extract_image_ahash(df, on_error="null").collect()}
+    assert rows[2]["ahash"] is None and rows[1]["ahash"] is not None
+
+    wdf = spark.createDataFrame(
+        [(1, _wav_payload(np.arange(64))), (2, bad)], "media_id long, payload binary"
+    )
+    assert [r["media_id"] for r in extract_wav_features(wdf, on_error="skip").collect()] == [1]
+
+
 def test_audio_fp64_unit():
     import numpy as np
 

@@ -518,6 +518,23 @@ def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("u", "v")
 
 
+def _q_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (extras/multimodal.frame_sample_plan): one
+    row per (media_id, frame_ts) at a 500 ms stride, WITHOUT decoding — the
+    exploded plan is what a downstream mapInPandas decode stage consumes.
+    Durations synthesized deterministically from doc_id; pure Catalyst
+    sequence+explode, so the oracle replays it with generate_series."""
+    from daft_minhash_dedupe_spark.extras.multimodal import frame_sample_plan
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 4 == 0, "image").otherwise("video").alias("kind"),
+        ((F.col("doc_id") % 10 + 1) * 1000).alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=500)
+
+
 def _q_audio_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-sign audio fingerprint invariants, mirroring image_ahash_stats:
     each source WAV, an exact copy (doc_id < 50), and a +10 DC-offset copy
@@ -1036,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": _q_image_near_dup,
         "audio_fp_stats": _q_audio_fp_stats,
         "audio_near_dup": _q_audio_near_dup,
+        "video_frame_plan": _q_video_frame_plan,
         "pricing_rollup": _q_pricing_rollup,
         "status_pivot": _q_status_pivot,
         "user_sessions": _q_user_sessions,
@@ -1502,6 +1520,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT u.media_id AS u, v.media_id AS v
             FROM packed u JOIN packed v ON u.media_id < v.media_id
             WHERE bit_count(xor(u.lo, v.lo)) + bit_count(xor(u.hi, v.hi)) <= 3
+        """,
+        "video_frame_plan": """
+            SELECT doc_id AS media_id,
+                   CAST(unnest(range(0, (doc_id % 10 + 1) * 1000, 500)) AS BIGINT) AS frame_ts
+            FROM documents
+            WHERE doc_id % 4 <> 0
         """,
         "media_metadata": """
             SELECT doc_id AS media_id,

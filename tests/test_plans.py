@@ -143,3 +143,19 @@ def test_incremental_state_bucketed_fold_and_semijoin_shuffle_free(spark, tmp_pa
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_curate_corpus_gates_in_scan_stage(spark):
+    """The curation pipeline's quality and language gates must stay pure
+    Catalyst (no Python nodes anywhere in the plan) and be evaluated against
+    the scan (the corpus id predicate reaches PushedFilters), with the
+    exact-dedup keep-set and decontamination index joined by broadcast."""
+    from daft_minhash_dedupe_spark.extras.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") >= 25)
+    bench = docs.where(F.col("doc_id") < 25)
+    plan = _plan(curate_corpus(corpus, bench, languages=("en",)))
+    assert "Python" not in plan, plan  # no UDF fell into the hot path
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,25)" in plan
+    assert "BroadcastHashJoin" in plan

@@ -224,6 +224,11 @@ class MinHashDedupePipeline:
             "assignments": assignments,
             "id_map": id_map,
             "clusters": clusters,
+            # intermediate stage handles (already materialized at the stage
+            # boundary) — lets callers reuse the run instead of re-executing
+            # the pipeline for band-level or prep-level questions
+            "prepped": prepped,
+            "bands": buckets,
         }
 
     def __call__(self, df: DataFrame) -> DataFrame:

@@ -8,7 +8,11 @@ rule the batch pipeline uses), against both earlier stream history and
 earlier rows of its own micro-batch. A near-duplicate arriving after the
 horizon has passed is kept — it starts a new "epoch" for its content, the
 ``dropDuplicatesWithinWatermark`` TTL contract generalized from exact keys
-to LSH band keys.
+to LSH band keys. The history check is bounded on BOTH sides
+(``last_ts ∈ [ts − horizon, ts]``): a band sighting strictly later than a
+document's event time does not suppress it. Sightings are summarized per
+micro-batch at ``max(event_ts)`` per (band, time-bucket) — the state row
+granularity; a micro-batch is assumed short relative to the horizon.
 
 Why ``foreachBatch`` and not a chained stateful-operator plan: the any-band
 rule needs TWO keyed stateful steps (band-key ownership, then an all-bands
@@ -18,23 +22,37 @@ lifts this (``transformWithStateInPandas`` with ``eventTimeColumnName``)
 needs the protobuf package, absent in this environment. ``foreachBatch`` is
 the documented escape hatch for stateful logic beyond the operator algebra,
 and it lets the stream share the engine's append-only ``IncrementalState``
-layout: each micro-batch appends ONE (band_key, last_ts) partition — O(batch)
-state writes, idempotent on batch replay (the batch id names the partition,
-a retried batch overwrites only its own directory), restart-safe via the
-normal streaming checkpoint.
+layout: each micro-batch appends ONE ``bands/batch_id=N`` partition tree —
+O(batch) state WRITES, idempotent on batch replay (the batch id names the
+partition; a retried batch overwrites only its own directory AND the state
+read excludes ``batch_id >= N``, so a replayed batch never suppresses
+against its own prior half-written state).
 
-State reads prune by event time (band rows older than the horizon can't
-suppress), so state files older than the horizon can be garbage-collected
-out-of-band at any time.
+State READS are partition-pruned, not full scans: state rows carry a coarse
+event-time partition column ``ts_bucket = floor(epoch(ts) / horizon)``
+(layout ``bands/batch_id=N/ts_bucket=B/``), and each micro-batch reads only
+the buckets that can intersect its ``[min(ts) − horizon, max(ts)]`` window —
+expired partitions are dropped at scan planning, so per-batch state-read
+cost is O(horizon-recent state), not O(live state). ``expire_state`` is the
+matching out-of-band GC: it deletes bucket directories that can no longer
+suppress any document at-or-after a caller-supplied event-time frontier.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from daft_minhash_dedupe_spark.config import DedupeConfig
 from daft_minhash_dedupe_spark.streaming.sessionize import _parse_duration_seconds
+
+_STATE_SCHEMA = "band_key long, last_ts timestamp, ts_bucket long, batch_id long"
+
+
+def _epoch_seconds(col):
+    """Event-time column → epoch seconds, tolerating TIMESTAMP_NTZ inputs
+    (NTZ cannot cast to double directly; via timestamp_ltz it can)."""
+    return F.col(col).cast("timestamp_ltz").cast("double")
 
 
 class StreamingNearDedupe:
@@ -60,10 +78,17 @@ class StreamingNearDedupe:
         self.cfg = cfg
         self.state_dir = state_dir.rstrip("/")
         self.survivors_dir = survivors_dir.rstrip("/")
-        self.horizon_s = _parse_duration_seconds(horizon)
+        self.horizon_s = max(1, int(_parse_duration_seconds(horizon)))
         self.text_col = text_col
         self.id_col = id_col
         self.ts_col = ts_col
+
+    @property
+    def _bands_root(self) -> str:
+        return f"{self.state_dir}/bands"
+
+    def _bucket_of(self, ts_col: str):
+        return F.floor(_epoch_seconds(ts_col) / F.lit(self.horizon_s)).cast("long")
 
     # -- state ---------------------------------------------------------------
     def _bands_of(self, batch: DataFrame) -> DataFrame:
@@ -82,16 +107,28 @@ class StreamingNearDedupe:
             meta.withColumnRenamed("node_id", "node"), "node"
         )
 
-    def _read_state(self, spark) -> DataFrame:
+    def _state_candidates(
+        self, spark: SparkSession, batch_id: int, mn_bucket: int, mx_bucket: int
+    ) -> DataFrame:
+        """Per-batch band sightings that could suppress a document whose
+        event time falls in bucket range [mn_bucket, mx_bucket].
+
+        All three predicates hit DISCOVERED PARTITION COLUMNS, so expired
+        (and future) bucket directories — and the current batch's own
+        partition on crash-replay — are pruned at scan planning, never read.
+        """
         from daft_minhash_dedupe_spark.operators.state import _exists
 
-        path = f"{self.state_dir}/bands"
-        if not _exists(spark, path):
-            return spark.createDataFrame([], "band_key long, last_ts timestamp")
+        if not _exists(spark, self._bands_root):
+            return spark.createDataFrame([], _STATE_SCHEMA)
         return (
-            spark.read.parquet(path)
-            .groupBy("band_key")
-            .agg(F.max("last_ts").alias("last_ts"))
+            spark.read.parquet(self._bands_root)
+            .where(F.col("batch_id") < F.lit(int(batch_id)))
+            # a sighting in bucket B has last_ts < (B+1)*horizon; it can only
+            # reach a doc at ts >= mn_bucket*horizon if B >= mn_bucket - 1
+            .where(F.col("ts_bucket") >= F.lit(int(mn_bucket) - 1))
+            # a sighting with last_ts <= ts lives in a bucket <= the doc's
+            .where(F.col("ts_bucket") <= F.lit(int(mx_bucket)))
         )
 
     # -- the micro-batch fold ------------------------------------------------
@@ -99,14 +136,28 @@ class StreamingNearDedupe:
         spark = batch.sparkSession
         if batch.isEmpty():
             return
-        bands = self._bands_of(batch).localCheckpoint(eager=True)
+        bands = (
+            self._bands_of(batch)
+            .withColumn("_bucket", self._bucket_of("_ts"))
+            .localCheckpoint(eager=True)
+        )
         horizon = F.expr(f"INTERVAL {int(self.horizon_s)} SECONDS")
+        rng = bands.agg(
+            F.min("_bucket").alias("mn"), F.max("_bucket").alias("mx")
+        ).first()
 
-        # history suppression: any band seen within the horizon before ts
-        state = self._read_state(spark)
+        # history suppression: any band sighting inside [ts - horizon, ts].
+        # State keeps per-(batch, band, bucket) sightings — no cross-batch
+        # max fold, so a sighting LATER than the doc's event time never
+        # shadows an earlier in-window one, and the read stays O(batch-sized
+        # scan over horizon-recent partitions).
+        state = self._state_candidates(spark, batch_id, rng["mn"], rng["mx"])
         hist_hit = (
             bands.join(state, "band_key")
-            .where(F.col("last_ts") >= F.col("_ts") - horizon)
+            .where(
+                (F.col("last_ts") >= F.col("_ts") - horizon)
+                & (F.col("last_ts") <= F.col("_ts"))
+            )
             .select(self.id_col)
             .distinct()
         )
@@ -129,13 +180,50 @@ class StreamingNearDedupe:
         )
         # O(batch) state append — ALL seen bands enter state (suppressed docs
         # included: chains A~B~C collapse onto the first survivor); the batch
-        # id names the partition so a replayed batch is idempotent
+        # id names the partition so a replayed batch is idempotent, and the
+        # coarse event-time bucket is the read-prune / GC key
         (
-            bands.groupBy("band_key")
+            bands.groupBy("band_key", F.col("_bucket").alias("ts_bucket"))
             .agg(F.max("_ts").alias("last_ts"))
             .write.mode("overwrite")
-            .parquet(f"{self.state_dir}/bands/batch_id={batch_id}")
+            .partitionBy("ts_bucket")
+            .parquet(f"{self._bands_root}/batch_id={batch_id}")
         )
+
+    # -- GC ------------------------------------------------------------------
+    def expire_state(self, spark: SparkSession, frontier_ts) -> int:
+        """Delete band-state bucket directories that cannot suppress any
+        document with event time >= ``frontier_ts`` (a datetime or an epoch
+        seconds number): every sighting in bucket B has
+        ``last_ts < (B+1)*horizon``, so once
+        ``(B+1)*horizon <= frontier - horizon`` the bucket is dead state.
+
+        Out-of-order safety is the caller's contract: pick ``frontier_ts``
+        the way a watermark is picked (max seen event time minus the
+        lateness bound). Returns the number of directories removed.
+        """
+        from daft_minhash_dedupe_spark.operators.state import _exists, _fs
+
+        if not _exists(spark, self._bands_root):
+            return 0
+        epoch = (
+            frontier_ts if isinstance(frontier_ts, (int, float))
+            else frontier_ts.timestamp()
+        )
+        cutoff = (epoch - self.horizon_s) // self.horizon_s - 1  # B+1 <= this+1
+        fs, root, _ = _fs(spark, self._bands_root)
+        removed = 0
+        for batch_st in fs.listStatus(root):
+            if not batch_st.isDirectory():
+                continue
+            for bucket_st in fs.listStatus(batch_st.getPath()):
+                name = bucket_st.getPath().getName()
+                if not name.startswith("ts_bucket="):
+                    continue
+                if int(name.split("=", 1)[1]) <= cutoff:
+                    fs.delete(bucket_st.getPath(), True)
+                    removed += 1
+        return removed
 
 
 def streaming_near_dedupe(

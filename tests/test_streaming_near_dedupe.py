@@ -102,3 +102,121 @@ def test_streaming_near_dedupe_restart_resumes(spark, tmp_path):
     q.awaitTermination(300)
     kept = {r["block_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert kept == {"A"}, kept
+
+
+def _mk_snd(tmp_path, horizon="1 hour"):
+    from daft_minhash_dedupe_spark.streaming.near_dedupe import StreamingNearDedupe
+
+    return StreamingNearDedupe(
+        DedupeConfig(),
+        state_dir=str(tmp_path / "state"),
+        survivors_dir=str(tmp_path / "out"),
+        horizon=horizon,
+    )
+
+
+def test_near_dedupe_crash_replay_is_idempotent(spark, tmp_path):
+    """A retried micro-batch (state written, streaming checkpoint not yet
+    committed) must reproduce its ORIGINAL survivors: the state read excludes
+    batch_id >= current, so a batch never suppresses against its own
+    half-committed band partition."""
+    snd = _mk_snd(tmp_path)
+    schema = "block_id string, block_text string, warc_ts timestamp"
+    b0 = spark.createDataFrame(
+        [("A", _text(range(300)), dt.datetime(2024, 1, 1, 1))], schema
+    )
+    snd(b0, 0)
+    first = {r["block_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert first == {"A"}
+    snd(b0, 0)  # crash-replay of the same batch id
+    again = {r["block_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert again == {"A"}, "replayed batch suppressed itself against its own state"
+    # and a genuinely later near-dup batch is still suppressed by batch 0
+    b1 = spark.createDataFrame(
+        [("B", _text(range(300), edit=5), dt.datetime(2024, 1, 1, 1, 20))], schema
+    )
+    snd(b1, 1)
+    kept = {r["block_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert kept == {"A"}
+
+
+def test_near_dedupe_future_sighting_does_not_suppress(spark, tmp_path):
+    """History check is bounded above: an out-of-order doc whose event time
+    PRECEDES every stored sighting of its bands is kept (the documented
+    'seen within the horizon BEFORE its event time' semantics)."""
+    snd = _mk_snd(tmp_path)
+    schema = "block_id string, block_text string, warc_ts timestamp"
+    snd(
+        spark.createDataFrame(
+            [("A", _text(range(300)), dt.datetime(2024, 1, 1, 10))], schema
+        ),
+        0,
+    )
+    # near-dup of A but event time 2h EARLIER than A's sighting
+    snd(
+        spark.createDataFrame(
+            [("B", _text(range(300), edit=3), dt.datetime(2024, 1, 1, 8))], schema
+        ),
+        1,
+    )
+    kept = {r["block_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert kept == {"A", "B"}, kept
+
+
+def test_near_dedupe_state_read_prunes_expired_partitions(spark, tmp_path):
+    """The per-batch state scan must exclude bucket partitions outside
+    [min_doc_bucket - 1, max_doc_bucket] and the current batch's own
+    partition — verified via input_file_name on the candidate scan."""
+    from pyspark.sql import functions as F
+
+    snd = _mk_snd(tmp_path)  # horizon 3600s -> bucket = floor(epoch/3600)
+    schema = "block_id string, block_text string, warc_ts timestamp"
+    old_ts = dt.datetime(2024, 1, 1, 1)
+    new_ts = dt.datetime(2024, 1, 10, 1)
+    snd(spark.createDataFrame([("A", _text(range(300)), old_ts)], schema), 0)
+    snd(spark.createDataFrame([("B", _text(range(900, 1200)), new_ts)], schema), 1)
+
+    bucket = lambda t: int(t.timestamp() // 3600)  # noqa: E731
+    cand = snd._state_candidates(spark, 2, bucket(new_ts), bucket(new_ts))
+    files = {
+        r[0] for r in cand.select(F.input_file_name()).distinct().collect()
+    }
+    assert files, "recent partition must be read"
+    assert all(f"ts_bucket={bucket(new_ts)}" in f for f in files), files
+    assert not any(f"ts_bucket={bucket(old_ts)}" in f for f in files), (
+        "expired bucket partition was read"
+    )
+    # replay view for batch 1 must not see batch 1's own partition
+    cand1 = snd._state_candidates(spark, 1, bucket(old_ts), bucket(new_ts))
+    files1 = {
+        r[0] for r in cand1.select(F.input_file_name()).distinct().collect()
+    }
+    assert files1 and not any("batch_id=1" in f for f in files1), files1
+
+
+def test_near_dedupe_expire_state_gc(spark, tmp_path):
+    """expire_state deletes bucket dirs older than the frontier horizon and
+    keeps live ones; suppression against retained state still works."""
+    snd = _mk_snd(tmp_path)
+    schema = "block_id string, block_text string, warc_ts timestamp"
+    old_ts = dt.datetime(2024, 1, 1, 1)
+    new_ts = dt.datetime(2024, 1, 10, 1)
+    snd(spark.createDataFrame([("A", _text(range(300)), old_ts)], schema), 0)
+    snd(spark.createDataFrame([("B", _text(range(900, 1200)), new_ts)], schema), 1)
+
+    removed = snd.expire_state(spark, new_ts)
+    assert removed == 1, removed
+    import glob
+
+    live = glob.glob(str(tmp_path / "state" / "bands" / "batch_id=*" / "ts_bucket=*"))
+    assert len(live) == 1 and "batch_id=1" in live[0], live
+    # retained state still suppresses a within-horizon near-dup of B
+    snd(
+        spark.createDataFrame(
+            [("C", _text(range(900, 1200), edit=10), new_ts + dt.timedelta(minutes=30))],
+            schema,
+        ),
+        2,
+    )
+    kept = {r["block_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert kept == {"A", "B"}, kept

@@ -64,6 +64,10 @@ def _wav_samples(payload: bytes) -> tuple[dict, np.ndarray]:
             w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()
         )
         frames = w.readframes(n)
+    if width not in (1, 2):
+        # 24/32-bit PCM would silently mis-decode as int16 garbage — fail
+        # loudly instead (routed through the extractors' on_error modes)
+        raise ValueError(f"unsupported WAV sample width: {width * 8}-bit PCM")
     dtype = np.uint8 if width == 1 else np.dtype("<i2")
     samples = np.frombuffer(frames, dtype=dtype)
     params = {

@@ -121,7 +121,11 @@ def asof_join(
                 )
                 .where(F.col("_carry").isNotNull())
             )
-            stitched = carried.join(F.broadcast(carry_in), [key, "_bucket"], "left")
+            # no broadcast hint: carry_in is (distinct keys × buckets) rows —
+            # small for the hot-key corpora this path targets, but unbounded
+            # in key cardinality; let AQE pick broadcast vs shuffle from the
+            # measured size instead of forcing it into driver memory
+            stitched = carried.join(carry_in, [key, "_bucket"], "left")
             out = stitched.where(F.col("_side") == 1).select(
                 "*",
                 *[

@@ -44,6 +44,35 @@ def lenient_utf8_decode(b: pd.Series) -> pd.Series:
     return b.map(lambda x: x.decode("utf-8", errors="replace") if x is not None else None)
 
 
+@F.pandas_udf(T.StringType())
+def _utf8_decode_or_null(b: pd.Series) -> pd.Series:
+    def dec(x):
+        if x is None:
+            return None
+        try:
+            return x.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+
+    return b.map(dec)
+
+
+def utf8_decode(col: Column, errors: str = "replace") -> Column:
+    """binary → utf-8 string with a choice of malformed-byte semantics.
+
+    ``errors='replace'`` keeps corrupt payloads, substituting U+FFFD (the
+    engine's lenient default — one bad byte should not drop a crawl record);
+    ``errors='null'`` nulls the whole payload instead, matching the
+    reference's ``try_decode("utf-8")`` keep/drop behavior
+    (workload/minhash_dedupe.py:57). None in → None out in both modes.
+    """
+    if errors == "replace":
+        return lenient_utf8_decode(col)
+    if errors == "null":
+        return _utf8_decode_or_null(col)
+    raise ValueError(f"errors must be 'replace' or 'null', got {errors!r}")
+
+
 # -- selector-level block extraction (reference extract_blocks parity) --------
 #
 # Mirrors reference workload/minhash_dedupe.py:31-43 (selectolax): decompose

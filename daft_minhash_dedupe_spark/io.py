@@ -177,6 +177,11 @@ class StageCheckpointer:
             import pyarrow.parquet as pq
 
             files = sorted(p for p in d.iterdir() if p.name.endswith(".parquet"))
+            if not files:
+                # directory exists but holds no data files (partitioned or
+                # non-local layout) — force the caller's Spark-scan fallback
+                # rather than recording rows=0
+                return None
             return [
                 (i, pq.ParquetFile(str(p)).metadata.num_rows)
                 for i, p in enumerate(files)

@@ -1097,3 +1097,20 @@ def test_asof_join_split_buckets_null_struct_and_ties(spark):
             ).collect()
         }
         assert out == {1: (None, 9), 2: (50, 7), 3: (1, 1)}, (sb, out)
+
+
+def test_wav_unsupported_sample_width_fails_loudly():
+    """24-bit PCM must raise (not silently mis-decode as int16 garbage)."""
+    import io as _io
+    import wave as _wave
+
+    import pytest as _pytest
+
+    from daft_minhash_dedupe_spark.extras.multimodal import decode_wav
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(3); w.setframerate(8000)
+        w.writeframes(b"\x01\x02\x03" * 4)
+    with _pytest.raises(ValueError, match="24-bit"):
+        decode_wav(buf.getvalue())

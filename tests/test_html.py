@@ -197,3 +197,18 @@ def test_html_to_text(spark):
     got = df.select(html_to_text(F.col("html")).alias("t")).first()["t"]
     assert "Title" in got and "Head&er" in got and "Hello world" in got
     assert "ignore me" not in got and "color:red" not in got and "var a=1" not in got
+
+
+def test_utf8_decode_error_modes(spark):
+    from daft_minhash_dedupe_spark.functions.html import utf8_decode
+
+    rows = [(b"ok",), (b"bad \xff byte",), (None,)]
+    df = spark.createDataFrame(rows, "b binary")
+    kept = [r["s"] for r in df.select(utf8_decode(F.col("b"), "replace").alias("s")).collect()]
+    assert kept == ["ok", "bad � byte", None]
+    nulled = [r["s"] for r in df.select(utf8_decode(F.col("b"), "null").alias("s")).collect()]
+    assert nulled == ["ok", None, None]  # reference try_decode semantics
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        utf8_decode(F.col("b"), "ignore")

@@ -91,6 +91,74 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_skew(spark, total_rows: int, hot_frac: float = 0.25, repeats: int = 2) -> dict:
+    """Measured evidence for the salted two-phase bucket-min (the engine's
+    central skew defense, operators/banding.py): plant ONE hot band bucket
+    holding ``hot_frac`` of all rows (boilerplate-text shape) among ~1M
+    uniform buckets, then time three strategies at the bench core count:
+
+      naive_min     groupBy(band_key).min(node)      — Catalyst partial agg
+      salted_min    salted_bucket_min(buckets, 16)   — the engine's path
+      collect_list  groupBy(band_key).collect_list   — the reference's bucket
+                    materialization shape (chengmao_minhash_spark.py:464),
+                    where the hot bucket lands on one reducer
+
+    Interleaved best-of-N per strategy (ambient-noise estimator)."""
+    from pyspark.sql import functions as F
+
+    from daft_minhash_dedupe_spark.operators.banding import salted_bucket_min
+
+    hot = int(total_rows * hot_frac)
+    n_keys = 1_000_000
+    buckets = (
+        spark.range(total_rows)
+        .select(
+            F.when(F.col("id") < hot, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)) + 1)
+            .alias("band_key"),
+            F.col("id").alias("node"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = buckets.count()
+
+    def naive_min():
+        buckets.groupBy("band_key").agg(F.min("node").alias("u")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def salted_min():
+        salted_bucket_min(buckets, num_salts=16).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def collect_list():
+        buckets.groupBy("band_key").agg(
+            F.collect_list("node").alias("nodes")
+        ).write.format("noop").mode("overwrite").save()
+
+    strategies = {
+        "naive_min": naive_min,
+        "salted_min": salted_min,
+        "collect_list": collect_list,
+    }
+    times: dict[str, list[float]] = {k: [] for k in strategies}
+    for _ in range(max(repeats, 1)):
+        for name, fn in strategies.items():
+            t0 = time.time()
+            fn()
+            times[name].append(round(time.time() - t0, 2))
+    return {
+        "metric": "skew_bucket_agg_seconds",
+        "rows": n,
+        "hot_bucket_rows": hot,
+        "background_buckets": n_keys,
+        "cores": CPUS,
+        "best": {k: min(v) for k, v in times.items()},
+        "all_runs": times,
+    }
+
+
 def run_recall(spark, n_docs: int = 5000, seed: int = 11) -> dict:
     """Dup-pair recall vs planted ground truth + near-miss precision +
     cluster parity vs the pure-Python oracle (BASELINE.md criteria)."""
@@ -136,6 +204,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="run local[N] vs local[4N] scaling study")
     ap.add_argument("--recall", action="store_true", help="recall/precision vs planted ground truth")
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="salted vs naive bucket aggregation on a planted hot band "
+        "(--docs = total band rows; one bucket holds 25%% of them)",
+    )
     ap.add_argument("--docs", type=int, default=int(os.environ.get("BENCH_DOCS", "20000")))
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument(
@@ -180,6 +254,12 @@ def main() -> None:
     if args.recall:
         spark = _fresh_spark(CPUS)
         print(json.dumps(run_recall(spark, min(args.docs, 5000))))
+        spark.stop()
+        return
+
+    if args.skew:
+        spark = _fresh_spark(CPUS)
+        print(json.dumps(run_skew(spark, args.docs, repeats=max(args.repeats, 2))))
         spark.stop()
         return
 

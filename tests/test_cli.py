@@ -85,3 +85,49 @@ def test_main_cli_end_to_end(spark, tmp_path):
     assert clusters.select("component").distinct().count() == n_surv
     # stage markers present for resume
     assert (Path(ckpt) / "signatures" / "_STAGE_OK").exists()
+
+
+def test_cluster_ids_deterministic_across_parallelism_and_resume(spark, tmp_path):
+    """The deterministic-id design (xxhash64 node ids + min-label CC) implies
+    the (url, component) table is bit-identical across parallelism levels and
+    across a mid-pipeline checkpoint resume — no monotonically_increasing_id
+    anywhere (FRICTION_LOG.md:88-91 regret, fixed by design)."""
+    import os
+    import shutil
+
+    from daft_minhash_dedupe_spark.sources.synthetic import generate_web_pages
+
+    df, _ = generate_web_pages(spark, n_rows=300, seed=11)
+    inp = str(tmp_path / "web_pages")
+    df.write.parquet(inp)
+
+    def run(master, out, ckpt, resume=False):
+        env = dict(os.environ)
+        env.update({"SPARK_GRAFT_MASTER": master, "SPARK_GRAFT_DRIVER_MEM": "4g"})
+        cmd = [
+            sys.executable, "main.py",
+            "--input", inp, "--output", out, "--checkpoint", ckpt,
+        ] + (["--resume"] if resume else [])
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=600, env=env, cwd=str(REPO)
+        )
+        assert r.returncode == 0, (r.stderr or r.stdout)[-3000:]
+
+    def clusters(out):
+        return {
+            (r["block_id"], r["component"])
+            for r in spark.read.parquet(f"{out}/clusters").collect()
+        }
+
+    run("local[2]", str(tmp_path / "out2"), str(tmp_path / "ck2"))
+    run("local[8]", str(tmp_path / "out8"), str(tmp_path / "ck8"))
+    c2, c8 = clusters(str(tmp_path / "out2")), clusters(str(tmp_path / "out8"))
+    assert len(c2) == 300 and c2 == c8
+
+    # resume from a MID-pipeline checkpoint: keep local[2]'s early stages,
+    # drop everything from bands onward, re-run at local[8] with --resume —
+    # recomputed later stages over resumed earlier stages must agree too
+    for stage in ("bands", "pairs", "components"):
+        shutil.rmtree(tmp_path / "ck2" / stage, ignore_errors=True)
+    run("local[8]", str(tmp_path / "out_resumed"), str(tmp_path / "ck2"), resume=True)
+    assert clusters(str(tmp_path / "out_resumed")) == c2

@@ -118,7 +118,10 @@ class MinHashDedupePipeline:
         return out
 
     def bands(self, df: DataFrame) -> DataFrame:
-        return lsh_band_buckets(df, self.cfg.R, self.cfg.B)
+        # band_idx is already folded into band_key (functions/hashing.py:36-44)
+        # and nothing downstream of the persisted stage reads it — drop it so
+        # the checkpoint writes and downstream scans carry 16B/row, not 20B
+        return lsh_band_buckets(df, self.cfg.R, self.cfg.B).select("band_key", "node")
 
     def candidate_edges(self, buckets: DataFrame, signatures: DataFrame) -> DataFrame:
         c = self.cfg

@@ -31,7 +31,9 @@ from daft_minhash_dedupe_spark.extras.exact_dedupe import (
     exact_dup_groups,
     exact_dedupe,
 )
+from daft_minhash_dedupe_spark.extras.line_dedupe import line_dedupe
 from daft_minhash_dedupe_spark.extras.ngram_jaccard import ngram_jaccard_pairs
+from daft_minhash_dedupe_spark.extras.pii import redact_pii
 from daft_minhash_dedupe_spark.extras.simhash import simhash64
 from daft_minhash_dedupe_spark.extras.text_analysis import (
     distinct_token_ratio,
@@ -807,6 +809,52 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_line_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal (extras/line_dedupe.py).
+
+    The corpus text is single-line, so the query plants the line structure
+    deterministically from the doc's own columns (same construction in the
+    oracle): a per-source header (repeats across all docs of a source), the
+    body, a per-doc footer (unique), and a global copyright line (in every
+    doc). min_dup_docs=5 must strip the header + copyright lines and keep
+    the body (unless the body itself repeats in >=5 docs — both sides agree).
+    """
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("header source "), F.col("source")),
+            F.col("text"),
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" footer")),
+            F.lit("copyright footer all rights reserved"),
+        ).alias("text"),
+    )
+    return line_dedupe(aug, min_dup_docs=5).select(
+        "doc_id", "kept_lines", "removed_lines", "cleaned_text"
+    )
+
+
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (extras/pii.py) over text with planted deterministic
+    email / IPv4 / phone spans built from doc_id (same construction in the
+    oracle), so counts and the redacted string are non-vacuous."""
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.7 call 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(aug).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "redacted_text"
+    )
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_shingles(_docs(spark, sf_dir), "text", 5, "_sh").select(
         "doc_id",
@@ -1099,6 +1147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_agg": _q_events_agg,
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "line_dedupe_boilerplate": _q_line_dedupe,
+        "pii_redaction": _q_pii_redaction,
         # --- no_oracle rows below (rows-only adjudication; keep LAST) ---
         "minhash_dedupe_clusters": _q_minhash_dedupe,
         "minhash_dedupe_verified_survivors": _q_minhash_dedupe_verified,
@@ -1688,6 +1738,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(0 AS BIGINT) AS n_mismatch
             FROM documents
+        """,
+        "line_dedupe_boilerplate": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     'header source ' || source || chr(10) || text || chr(10)
+                     || 'doc ' || CAST(doc_id AS VARCHAR) || ' footer' || chr(10)
+                     || 'copyright footer all rights reserved' AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS idx
+              FROM aug),
+            ln AS (SELECT doc_id, idx, line, trim(lower(line)) AS k FROM l),
+            bl AS (SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS c FROM ln GROUP BY k)
+                   WHERE c >= 5),
+            kept AS (SELECT * FROM ln ANTI JOIN bl USING (k)),
+            base AS (SELECT doc_id, len(string_split(text, chr(10))) AS total FROM aug),
+            g AS (SELECT doc_id, count(*) AS kept_lines,
+                         string_agg(line, chr(10) ORDER BY idx) AS cleaned_text
+                  FROM kept GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(coalesce(g.kept_lines, 0) AS BIGINT) AS kept_lines,
+                   CAST(b.total - coalesce(g.kept_lines, 0) AS BIGINT) AS removed_lines,
+                   coalesce(g.cleaned_text, '') AS cleaned_text
+            FROM base b LEFT JOIN g USING (doc_id)
+        """,
+        "pii_redaction": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                     || '.0.7 call 555-010-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                     regexp_replace(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+              FROM aug),
+            i AS (
+              SELECT doc_id, n_emails,
+                     CAST(len(regexp_extract_all(t,
+                          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+                     regexp_replace(t,
+                          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+              FROM e)
+            SELECT doc_id, n_emails, n_ips,
+                   CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+                   regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted_text
+            FROM i
         """,
     }
 

@@ -1114,3 +1114,90 @@ def test_wav_unsupported_sample_width_fails_loudly():
         w.writeframes(b"\x01\x02\x03" * 4)
     with _pytest.raises(ValueError, match="24-bit"):
         decode_wav(buf.getvalue())
+
+
+# -- line-level boilerplate dedup -------------------------------------------
+
+
+def test_line_dedupe_removes_boilerplate(spark):
+    from daft_minhash_dedupe_spark.extras.line_dedupe import line_dedupe
+
+    footer = "copyright footer"
+    docs = [f"body {i}\n{footer}" for i in range(5)] + ["unique one\nunique two"]
+    out = line_dedupe(_docs(spark, docs), min_dup_docs=5).orderBy("doc_id")
+    rows = out.collect()
+    for i in range(5):
+        assert rows[i]["cleaned_text"] == f"body {i}"
+        assert rows[i]["kept_lines"] == 1 and rows[i]["removed_lines"] == 1
+    assert rows[5]["cleaned_text"] == "unique one\nunique two"
+    assert rows[5]["removed_lines"] == 0
+
+
+def test_line_dedupe_all_boilerplate_doc_survives_empty(spark):
+    from daft_minhash_dedupe_spark.extras.line_dedupe import line_dedupe
+
+    docs = ["same line"] * 6
+    rows = line_dedupe(_docs(spark, docs), min_dup_docs=5).collect()
+    assert len(rows) == 6
+    assert all(r["cleaned_text"] == "" and r["kept_lines"] == 0 for r in rows)
+
+
+def test_line_dedupe_within_doc_repeat_counts_once(spark):
+    from daft_minhash_dedupe_spark.extras.line_dedupe import line_dedupe
+
+    # "dup" appears 5x but inside ONE doc -> distinct-doc count is 1 -> kept
+    docs = ["dup\ndup\ndup\ndup\ndup", "other"]
+    rows = line_dedupe(_docs(spark, docs), min_dup_docs=5).orderBy("doc_id").collect()
+    assert rows[0]["cleaned_text"] == "dup\ndup\ndup\ndup\ndup"
+    assert rows[0]["removed_lines"] == 0
+
+
+def test_line_dedupe_normalizes_case_and_whitespace(spark):
+    from daft_minhash_dedupe_spark.extras.line_dedupe import line_dedupe
+
+    # same line modulo case/trim across 5 docs -> all removed
+    docs = ["Footer Line", "footer line", "  FOOTER LINE  ", "footer line", "footer LINE"]
+    rows = line_dedupe(_docs(spark, docs), min_dup_docs=5).collect()
+    assert all(r["kept_lines"] == 0 for r in rows)
+
+
+# -- PII redaction -----------------------------------------------------------
+
+
+def test_redact_pii_counts_and_replacements(spark):
+    from daft_minhash_dedupe_spark.extras.pii import redact_pii
+
+    df = _docs(
+        spark,
+        [
+            "mail a.b+c@x-site.co and d@e.org, ip 10.0.3.7, call 555-123-4567",
+            "no pii here",
+        ],
+    )
+    rows = redact_pii(df).orderBy("doc_id").collect()
+    r = rows[0]
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (2, 1, 1)
+    assert r["redacted_text"] == "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>"
+    assert rows[1]["redacted_text"] == "no pii here"
+    assert (rows[1]["n_emails"], rows[1]["n_ips"], rows[1]["n_phones"]) == (0, 0, 0)
+
+
+def test_redact_pii_ip_inside_email_redacted_as_email(spark):
+    from daft_minhash_dedupe_spark.extras.pii import redact_pii
+
+    # sequential semantics: the email (incl. its dotted-quad-ish domain) goes
+    # first, so no <IP> appears inside the <EMAIL> placeholder
+    rows = redact_pii(_docs(spark, ["x user@10.0.0.7.example.com y"])).collect()
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_ips"] == 0
+    assert "<EMAIL>" in rows[0]["redacted_text"]
+
+
+def test_has_pii_gate(spark):
+    from daft_minhash_dedupe_spark.extras.pii import has_pii
+
+    rows = (
+        has_pii(_docs(spark, ["a@b.co ok", "clean text", "ip 1.2.3.4"]))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["has_pii"] for r in rows] == [True, False, True]

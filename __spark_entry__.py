@@ -855,6 +855,28 @@ def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tiered_dedupe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier cascade (extras/tiered.py) over documents with the same planted
+    line structure as line_dedupe_boilerplate: per-tier (tier, docs_in,
+    docs_out). rows-only adjudication — the minhash tier's survivor count is
+    not SQL-expressible; each tier is separately oracle-checked by the
+    exact_dedupe / line_dedupe_boilerplate / minhash_dedupe_stats rows, and
+    the composition by tests/test_tiered.py."""
+    from daft_minhash_dedupe_spark.extras.tiered import tiered_dedupe, tiered_stats
+
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("header source "), F.col("source")),
+            F.col("text"),
+            F.lit("copyright footer all rights reserved"),
+        ).alias("text"),
+    )
+    res = tiered_dedupe(aug, line_min_dup_docs=5)
+    return tiered_stats(res)
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_shingles(_docs(spark, sf_dir), "text", 5, "_sh").select(
         "doc_id",
@@ -1150,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedupe_boilerplate": _q_line_dedupe,
         "pii_redaction": _q_pii_redaction,
         # --- no_oracle rows below (rows-only adjudication; keep LAST) ---
+        "tiered_dedupe_stats": _q_tiered_dedupe_stats,
         "minhash_dedupe_clusters": _q_minhash_dedupe,
         "minhash_dedupe_verified_survivors": _q_minhash_dedupe_verified,
         "minhash_signatures": _q_minhash_signatures,

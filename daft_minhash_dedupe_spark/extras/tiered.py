@@ -1,0 +1,129 @@
+"""Tiered deduplication — the cheapest-first composition a 100 TB webtext
+pipeline actually runs.
+
+Ordering rationale (each tier shrinks the input to the strictly more
+expensive one):
+
+  tier 0  exact      one shuffle on a 128-bit digest; kills verbatim
+                     re-crawls/mirrors (the bulk of web duplication) before
+                     anything per-token runs
+  tier 1  line       CCNet-style boilerplate line removal (extras/
+                     line_dedupe.py) — REWRITES the text so the near-dup
+                     tier isn't confounded by shared nav bars / footers
+                     (two different articles sharing a sidebar must not band
+                     together; two identical articles with different footers
+                     must)
+  tier 1b exact'     re-digest the cleaned text: stripping boilerplate can
+                     reveal verbatim duplicates tier 0 could not see
+  tier 2  minhash    the flagship MinHash→LSH→CC pipeline (pipeline.py) on
+                     the cleaned text — the expensive tier sees only what
+                     the cheap tiers could not resolve
+
+The exact tiers keep the GLOBAL MIN id of each duplicate group; the minhash
+tier keeps the flagship's representative (the group's min deterministic
+node hash — SURVEY §2 semantics #1-2). Either way every keep decision is a
+pure function of content + ids, so the composition's survivor set is
+order-insensitive within a tier and deterministic across parallelism
+levels (deterministic ids, functions/hashing.py).
+
+The reference has no tiered orchestrator (its pipeline is single-tier
+MinHash, workload/minhash_dedupe.py:176-185); each tier here is individually
+driver-oracle-checked (exact_dedupe / line_dedupe_boilerplate /
+minhash_dedupe_stats rows) and the composition is pinned by planted-corpus
+tests with hand-derived per-tier counts (tests/test_tiered.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from daft_minhash_dedupe_spark.config import DedupeConfig
+from daft_minhash_dedupe_spark.extras.exact_dedupe import exact_dedupe
+from daft_minhash_dedupe_spark.extras.line_dedupe import line_dedupe
+from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline
+
+
+def tiered_dedupe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_min_dup_docs: int | None = 5,
+    minhash_config: DedupeConfig | None = None,
+    run_minhash: bool = True,
+    drop_empty_after_line: bool = True,
+    collect_metrics: bool = True,
+) -> dict:
+    """Run the tier cascade; returns {"survivors", "metrics", "cleaned_col"}.
+
+    survivors: (id_col, text_col original, cleaned_text) — one row per kept
+    doc. metrics: list of {"tier", "docs_in", "docs_out"} dicts (counted at
+    tier boundaries; pass collect_metrics=False to stay fully lazy).
+    """
+    metrics: list[dict] = []
+
+    def _record(tier: str, before: DataFrame, after: DataFrame) -> None:
+        if collect_metrics:
+            metrics.append(
+                {"tier": tier, "docs_in": before.count(), "docs_out": after.count()}
+            )
+
+    cur = df.select(id_col, text_col)
+
+    # tier 0: exact
+    t0 = exact_dedupe(cur, text_col=text_col, id_col=id_col)
+    _record("exact", cur, t0)
+    cur = t0
+
+    # tier 1: line-level boilerplate removal (+ optional empty-doc drop)
+    cleaned_col = text_col
+    if line_min_dup_docs is not None:
+        lines = line_dedupe(
+            cur,
+            id_col=id_col,
+            text_col=text_col,
+            min_dup_docs=line_min_dup_docs,
+            out_col="cleaned_text",
+        ).select(id_col, "cleaned_text")
+        t1 = cur.join(lines, id_col)
+        if drop_empty_after_line:
+            t1 = t1.where(F.col("cleaned_text") != "")
+        cleaned_col = "cleaned_text"
+        _record("line_boilerplate", cur, t1)
+        # tier 1b: exact again on the cleaned text — boilerplate stripping
+        # can reveal verbatim duplicates the raw digest could not see
+        t1b = exact_dedupe(t1, text_col=cleaned_col, id_col=id_col)
+        _record("exact_after_line", t1, t1b)
+        cur = t1b
+
+    # tier 2: MinHash near-dup on the cleaned text
+    if run_minhash:
+        cfg = minhash_config or DedupeConfig(
+            index_col="__tier_id", content_col=cleaned_col, verify_pairs=False
+        )
+        pipe_in = cur.select(
+            F.col(id_col).cast("string").alias(cfg.index_col),
+            F.col(cleaned_col).alias(cfg.content_col),
+        )
+        res = MinHashDedupePipeline(cfg).run(pipe_in)
+        kept_ids = res["results"].select(
+            F.col(cfg.index_col).cast("long").alias(id_col)
+        )
+        t2 = cur.join(kept_ids, id_col, "left_semi")
+        _record("minhash", cur, t2)
+        cur = t2
+
+    return {"survivors": cur, "metrics": metrics, "cleaned_col": cleaned_col}
+
+
+def tiered_stats(result: dict) -> DataFrame:
+    """Metrics as a one-row-per-tier DataFrame (for sinks/reporting).
+
+    Requires the tiered_dedupe call to have run with collect_metrics=True.
+    """
+    survivors = result["survivors"]
+    spark = survivors.sparkSession
+    return spark.createDataFrame(
+        [(m["tier"], m["docs_in"], m["docs_out"]) for m in result["metrics"]],
+        "tier string, docs_in long, docs_out long",
+    )

@@ -61,17 +61,30 @@ def tiered_dedupe(
     tier boundaries; pass collect_metrics=False to stay fully lazy).
     """
     metrics: list[dict] = []
+    _counts: dict[int, int] = {}
+
+    def _mat(d: DataFrame) -> DataFrame:
+        # materialize each tier boundary once (lineage severed) — otherwise
+        # every per-tier count() and the final action each recompute the
+        # whole upstream cascade (O(tiers²) work)
+        return d.localCheckpoint(eager=True)
+
+    def _n(d: DataFrame) -> int:
+        k = id(d)
+        if k not in _counts:
+            _counts[k] = d.count()
+        return _counts[k]
 
     def _record(tier: str, before: DataFrame, after: DataFrame) -> None:
         if collect_metrics:
             metrics.append(
-                {"tier": tier, "docs_in": before.count(), "docs_out": after.count()}
+                {"tier": tier, "docs_in": _n(before), "docs_out": _n(after)}
             )
 
-    cur = df.select(id_col, text_col)
+    cur = _mat(df.select(id_col, text_col))
 
     # tier 0: exact
-    t0 = exact_dedupe(cur, text_col=text_col, id_col=id_col)
+    t0 = _mat(exact_dedupe(cur, text_col=text_col, id_col=id_col))
     _record("exact", cur, t0)
     cur = t0
 
@@ -88,11 +101,12 @@ def tiered_dedupe(
         t1 = cur.join(lines, id_col)
         if drop_empty_after_line:
             t1 = t1.where(F.col("cleaned_text") != "")
+        t1 = _mat(t1)
         cleaned_col = "cleaned_text"
         _record("line_boilerplate", cur, t1)
         # tier 1b: exact again on the cleaned text — boilerplate stripping
         # can reveal verbatim duplicates the raw digest could not see
-        t1b = exact_dedupe(t1, text_col=cleaned_col, id_col=id_col)
+        t1b = _mat(exact_dedupe(t1, text_col=cleaned_col, id_col=id_col))
         _record("exact_after_line", t1, t1b)
         cur = t1b
 
@@ -109,7 +123,7 @@ def tiered_dedupe(
         kept_ids = res["results"].select(
             F.col(cfg.index_col).cast("long").alias(id_col)
         )
-        t2 = cur.join(kept_ids, id_col, "left_semi")
+        t2 = _mat(cur.join(kept_ids, id_col, "left_semi"))
         _record("minhash", cur, t2)
         cur = t2
 

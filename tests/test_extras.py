@@ -1201,3 +1201,78 @@ def test_has_pii_gate(spark):
         .collect()
     )
     assert [r["has_pii"] for r in rows] == [True, False, True]
+
+
+# -- property tests: line dedup / PII ----------------------------------------
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_line_texts = st.lists(
+    st.text(alphabet="ab c\ndef", min_size=0, max_size=40), min_size=1, max_size=8
+)
+
+
+@given(_line_texts)
+@settings(max_examples=8, deadline=None)
+def test_line_dedupe_identity_when_threshold_exceeds_corpus(spark, texts):
+    """min_dup_docs > n_docs ⇒ no line can be boilerplate: every doc's
+    cleaned text equals its original and removed_lines == 0."""
+    from daft_minhash_dedupe_spark.extras.line_dedupe import line_dedupe
+
+    df = _docs(spark, texts)
+    out = line_dedupe(df, min_dup_docs=len(texts) + 1).orderBy("doc_id").collect()
+    for i, r in enumerate(out):
+        assert r["removed_lines"] == 0
+        assert r["cleaned_text"] == texts[i]
+
+
+@given(_line_texts)
+@settings(max_examples=8, deadline=None)
+def test_line_dedupe_matches_python_oracle(spark, texts):
+    """Full behavioral oracle in pure Python: normalize = trim+lower, a line
+    is boilerplate iff its normalized form occurs in >= N distinct docs."""
+    from collections import defaultdict
+
+    from daft_minhash_dedupe_spark.extras.line_dedupe import line_dedupe
+
+    n = 2
+    docs_per_key = defaultdict(set)
+    for i, t in enumerate(texts):
+        for line in t.split("\n"):
+            docs_per_key[line.strip().lower()].add(i)
+    expected = {}
+    for i, t in enumerate(texts):
+        kept = [l for l in t.split("\n") if len(docs_per_key[l.strip().lower()]) < n]
+        expected[i] = (len(kept), len(t.split("\n")) - len(kept), "\n".join(kept))
+
+    out = line_dedupe(_docs(spark, texts), min_dup_docs=n).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        assert (
+            r["kept_lines"], r["removed_lines"], r["cleaned_text"]
+        ) == expected[r["doc_id"]]
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="abc019.-@_ %+x", min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_redact_pii_idempotent(spark, texts):
+    """Redacting already-redacted text is a no-op: the placeholders contain
+    no character that can re-match any PII pattern."""
+    from daft_minhash_dedupe_spark.extras.pii import redact_pii
+
+    once = redact_pii(_docs(spark, texts), out_col="r1")
+    twice = redact_pii(
+        once.select("doc_id", "r1", F.col("r1").alias("text")), out_col="r2"
+    )
+    for r in twice.select("r1", "r2").collect():
+        assert r["r1"] == r["r2"]

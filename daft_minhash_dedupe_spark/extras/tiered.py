@@ -50,6 +50,7 @@ def tiered_dedupe(
     text_col: str = "text",
     line_min_dup_docs: int | None = 5,
     minhash_config: DedupeConfig | None = None,
+    minhash_overrides: dict | None = None,
     run_minhash: bool = True,
     drop_empty_after_line: bool = True,
     collect_metrics: bool = True,
@@ -110,20 +111,33 @@ def tiered_dedupe(
         _record("exact_after_line", t1, t1b)
         cur = t1b
 
-    # tier 2: MinHash near-dup on the cleaned text
+    # tier 2: MinHash near-dup on the cleaned text. Ids round-trip through
+    # their string form (the pipeline's index is a string key), so the tier
+    # is id-type agnostic — long doc_ids and URL strings both work.
     if run_minhash:
         cfg = minhash_config or DedupeConfig(
-            index_col="__tier_id", content_col=cleaned_col, verify_pairs=False
+            **{
+                "index_col": "__tier_id",
+                "content_col": cleaned_col,
+                "verify_pairs": False,
+                **(minhash_overrides or {}),
+            }
         )
         pipe_in = cur.select(
             F.col(id_col).cast("string").alias(cfg.index_col),
             F.col(cleaned_col).alias(cfg.content_col),
         )
         res = MinHashDedupePipeline(cfg).run(pipe_in)
-        kept_ids = res["results"].select(
-            F.col(cfg.index_col).cast("long").alias(id_col)
+        kept_ids = res["results"].select(F.col(cfg.index_col).alias("__kept_sid"))
+        t2 = _mat(
+            cur.withColumn("__sid", F.col(id_col).cast("string"))
+            .join(
+                kept_ids,
+                F.col("__sid") == F.col("__kept_sid"),
+                "left_semi",
+            )
+            .drop("__sid")
         )
-        t2 = _mat(cur.join(kept_ids, id_col, "left_semi"))
         _record("minhash", cur, t2)
         cur = t2
 

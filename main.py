@@ -55,7 +55,34 @@ def parse_args():
         "(bands by band_key, components by u) so per-batch state joins and "
         "the assignment fold never shuffle the corpus-sized side.",
     )
+    p.add_argument(
+        "--tiers",
+        default="minhash",
+        help="comma list from {exact,line,minhash} (cascade always runs "
+        "cheapest-first: exact → line-boilerplate → exact-on-cleaned → "
+        "minhash). The default 'minhash' is the single-tier flagship "
+        "pipeline with stage checkpoints / resume / incremental support; "
+        "any other combination runs the tiered cascade (extras/tiered.py) "
+        "and writes survivors + per-tier metrics.",
+    )
+    p.add_argument(
+        "--line-min-dup-docs",
+        type=int,
+        default=5,
+        help="line tier: a line is boilerplate when it appears in >= N "
+        "distinct documents",
+    )
     args = p.parse_args()
+    args.tier_set = {t.strip() for t in args.tiers.split(",") if t.strip()}
+    bad = args.tier_set - {"exact", "line", "minhash"}
+    if bad:
+        p.error(f"unknown tiers: {sorted(bad)} (choose from exact,line,minhash)")
+    if args.tier_set != {"minhash"} and args.prior_checkpoint:
+        p.error(
+            "--prior-checkpoint (incremental mode) requires the default "
+            "--tiers minhash: the persisted state is the single-tier "
+            "pipeline's band table."
+        )
     if args.verify_pairs and args.prior_checkpoint:
         p.error(
             "--verify-pairs cannot be combined with --prior-checkpoint: "
@@ -154,6 +181,45 @@ def run_incremental(spark, args, df, cfg) -> None:
     print("─" * 70)
 
 
+def run_tiered(spark, args, df, cfg, t0) -> None:
+    """Tiered cascade mode: exact → line-boilerplate → exact' → minhash,
+    honoring --tiers membership; writes survivors + prints per-tier metrics."""
+    from daft_minhash_dedupe_spark.extras.tiered import tiered_dedupe
+    from daft_minhash_dedupe_spark.io import write_table
+
+    res = tiered_dedupe(
+        df,
+        id_col=cfg.index_col,
+        text_col=cfg.content_col,
+        line_min_dup_docs=(
+            args.line_min_dup_docs if "line" in args.tier_set else None
+        ),
+        run_minhash="minhash" in args.tier_set,
+        minhash_overrides={
+            "num_perm": cfg.num_perm,
+            "ngram_size": cfg.ngram_size,
+            "threshold": cfg.threshold,
+            "seed": cfg.seed,
+            "algorithm": cfg.algorithm,
+        },
+    )
+    # note: when "exact" is excluded the cascade still runs its exact tiers —
+    # they are strictly cheaper than anything downstream and removing them
+    # never changes the survivor set (exact dups are also near-dups)
+    write_table(res["survivors"], f"{args.output}/survivors")
+    dt = time.time() - t0
+    print("─" * 70)
+    for m in res["metrics"]:
+        print(f"tier {m['tier']:<18} {m['docs_in']:>10} → {m['docs_out']:>10}")
+    n_in = res["metrics"][0]["docs_in"] if res["metrics"] else 0
+    n_out = res["metrics"][-1]["docs_out"] if res["metrics"] else 0
+    print(f"wall time:    {dt:.2f}s  ({n_in / max(dt, 1e-9):.0f} docs/s)")
+    print(f"rows before:  {n_in}")
+    print(f"rows after:   {n_out} ({n_out / max(n_in, 1) * 100:.2f}% kept)")
+    print(f"output:       {args.output}")
+    print("─" * 70)
+
+
 def main() -> None:
     args = parse_args()
     from daft_minhash_dedupe_spark.config import DedupeConfig
@@ -182,6 +248,10 @@ def main() -> None:
     )
     if args.prior_checkpoint:
         run_incremental(spark, args, df, cfg)
+        return
+
+    if args.tier_set != {"minhash"}:
+        run_tiered(spark, args, df, cfg, t0)
         return
 
     ck = StageCheckpointer(spark, root=args.checkpoint, resume=args.resume)

@@ -131,3 +131,50 @@ def test_cluster_ids_deterministic_across_parallelism_and_resume(spark, tmp_path
         shutil.rmtree(tmp_path / "ck2" / stage, ignore_errors=True)
     run("local[8]", str(tmp_path / "out_resumed"), str(tmp_path / "ck2"), resume=True)
     assert clusters(str(tmp_path / "out_resumed")) == c2
+
+
+def test_cli_tiered_mode(spark, tmp_path):
+    """--tiers exact,line,minhash runs the cascade over URL-string ids and
+    writes survivors + prints per-tier metrics."""
+    import os
+
+    from daft_minhash_dedupe_spark.sources.synthetic import generate_web_pages
+
+    df, _ = generate_web_pages(spark, n_rows=60, seed=7)
+    inp = str(tmp_path / "web_pages")
+    df.write.parquet(inp)
+
+    out = str(tmp_path / "out_tiered")
+    env = dict(os.environ)
+    env.update({"SPARK_GRAFT_MASTER": "local[4]", "SPARK_GRAFT_DRIVER_MEM": "4g"})
+    r = subprocess.run(
+        [
+            sys.executable, "main.py",
+            "--input", inp, "--output", out,
+            "--tiers", "exact,line,minhash", "--line-min-dup-docs", "3",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(REPO),
+    )
+    assert r.returncode == 0, (r.stderr or r.stdout)[-3000:]
+    assert "tier exact" in r.stdout and "tier minhash" in r.stdout
+    surv = spark.read.parquet(f"{out}/survivors")
+    assert {"block_id", "block_text", "cleaned_text"} <= set(surv.columns)
+    n = surv.count()
+    assert 0 < n <= 60
+    # survivor ids are a subset of the input's url universe (string ids
+    # round-tripped intact through the minhash tier)
+    urls = {r["url"] for r in df.select("url").collect()}
+    assert {r["block_id"] for r in surv.select("block_id").collect()} <= urls
+
+
+def test_cli_tiered_rejects_incremental_combo(tmp_path):
+    r = subprocess.run(
+        [
+            sys.executable, "main.py",
+            "--input", "x", "--output", "y",
+            "--tiers", "exact,line", "--prior-checkpoint", "z",
+        ],
+        capture_output=True, text=True, timeout=120, cwd=str(REPO),
+    )
+    assert r.returncode != 0
+    assert "minhash" in (r.stderr + r.stdout)

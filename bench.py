@@ -65,6 +65,35 @@ def run_flagship(
     return time.time() - t0, rows_in
 
 
+def run_tiered(
+    spark, n_docs: int, seed: int = 42, min_tokens: int = 80, max_tokens: int = 400
+) -> tuple[float, int]:
+    """Tiered cascade (exact tier0/1b + minhash; no line tier — the synthetic
+    corpus is single-line) on the same corpus run_flagship uses. The corpus
+    carries ~8% verbatim duplicates (family member 1 + the hot family), so
+    tier 0 shrinks the minhash tier's input by that fraction for the cost of
+    one digest groupBy — the web re-crawl economics, measurable A/B against
+    run_flagship in the same session."""
+    from daft_minhash_dedupe_spark.extras.tiered import tiered_dedupe
+    from daft_minhash_dedupe_spark.pipeline import prepare_web_pages
+    from daft_minhash_dedupe_spark.sources.synthetic_spark import bench_corpus
+
+    df = prepare_web_pages(
+        bench_corpus(spark, n_docs, seed, min_tokens=min_tokens, max_tokens=max_tokens)
+    ).localCheckpoint(eager=True)
+    rows_in = df.count()
+    t0 = time.time()
+    res = tiered_dedupe(
+        df,
+        id_col="block_id",
+        text_col="block_text",
+        line_min_dup_docs=None,
+        collect_metrics=False,
+    )
+    res["survivors"].write.format("noop").mode("overwrite").save()
+    return time.time() - t0, rows_in
+
+
 def run_documents_dedupe(spark, sf_dir: str) -> tuple[float, int]:
     import __spark_entry__ as e
 
@@ -205,6 +234,11 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true", help="run local[N] vs local[4N] scaling study")
     ap.add_argument("--recall", action="store_true", help="recall/precision vs planted ground truth")
     ap.add_argument(
+        "--tiered",
+        action="store_true",
+        help="A/B the tiered cascade (exact+minhash) vs the flagship alone",
+    )
+    ap.add_argument(
         "--skew",
         action="store_true",
         help="salted vs naive bucket aggregation on a planted hot band "
@@ -255,6 +289,38 @@ def main() -> None:
         spark = _fresh_spark(CPUS)
         print(json.dumps(run_recall(spark, min(args.docs, 5000))))
         spark.stop()
+        return
+
+    if args.tiered:
+        # interleaved flagship/tiered pairs in ONE session — the ambient-noise
+        # estimator for an A/B on this host (best-of-N per arm)
+        runs = {"flagship": [], "tiered": []}
+        for _ in range(max(args.repeats, 1)):
+            # fresh session per ARM: sharing one session hands the second arm
+            # warm Python workers + page cache (measured 2.2x flattering)
+            for arm, fn in (("flagship", run_flagship), ("tiered", run_tiered)):
+                spark = _fresh_spark(CPUS)
+                sec, rows = fn(
+                    spark,
+                    args.docs,
+                    min_tokens=args.min_tokens,
+                    max_tokens=args.max_tokens,
+                )
+                runs[arm].append(round(sec, 2))
+                spark.stop()
+        best_f, best_t = min(runs["flagship"]), min(runs["tiered"])
+        print(
+            json.dumps(
+                {
+                    "metric": "tiered_vs_flagship_seconds",
+                    "rows": rows,
+                    "flagship_best": best_f,
+                    "tiered_best": best_t,
+                    "tiered_over_flagship": round(best_t / best_f, 3),
+                    "all_runs": runs,
+                }
+            )
+        )
         return
 
     if args.skew:

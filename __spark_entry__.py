@@ -295,6 +295,36 @@ def _q_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_pairs(docs, window_tokens=20, max_posting=500).select("u", "v")
 
 
+def _q_substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (Lee et al. ExactSubstr in its window-
+    hash form, extras/exact_substring.py): a shared 10-token disclaimer
+    planted on every third doc must vanish from all of them, along with any
+    natural cross-doc verbatim run of >= 8 tokens. Full value-hash oracle:
+    DuckDB replays the duplicated-window blocklist keyed by the window
+    STRING (hash-free — differs from the engine's xxhash64 key only on a
+    64-bit collision) and rebuilds every document token-by-token."""
+    from daft_minhash_dedupe_spark.extras.exact_substring import (
+        remove_duplicate_spans,
+    )
+
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(_SPAN_DISCLAIMER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_duplicate_spans(aug, window_tokens=8)
+
+
+# 10 tokens >= the 8-token window, so every disclaimer token is covered
+_SPAN_DISCLAIMER = (
+    " this shared disclaimer sentence is appended to many documents verbatim"
+)
+
+
 def _q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-HTML ingest path: synthesize an HTML page per document (title +
     body paragraph + a script that must be dropped), then the reference-parity
@@ -593,6 +623,22 @@ def _q_audio_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-kernel invariants for BOTH media modalities in one
+    adjudicated row — the rounds-2/3 queries image_ahash_stats and
+    audio_fp_stats (each green) packed under a `kind` tag so every oracle
+    row stays inside the driver's 50-entry adjudication window. Same
+    planted structure per arm: source + exact copy + brightness/DC-offset
+    copy must hash identically (n_violations must be 0)."""
+    img = _q_image_ahash_stats(spark, sf_dir).select(
+        F.lit("image_ahash").alias("kind"), "*"
+    )
+    aud = _q_audio_fp_stats(spark, sf_dir).select(
+        F.lit("audio_fp").alias("kind"), "*"
+    )
+    return img.unionByName(aud)
+
+
 def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate pairs, pair-exact vs SQL: for the fixed
     256-sample payloads the 64 windows are equal-sized, so the delta-sign
@@ -714,22 +760,58 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization over synthesized messy crawl urls (documents has
-    no url column): mixed-case hosts, fragments, default ports, tracking
-    params, trailing slashes — RE2-safe regex chain mirrored by the oracle."""
-    from daft_minhash_dedupe_spark.functions.url import canonical_url
-
-    d = F.col("doc_id")
+def _synth_url(d: F.Column) -> F.Column:
+    """Messy crawl URL synthesized from a doc id (documents has no url
+    column): mixed-case hosts, fragments, default ports, tracking params —
+    host is always Site{d%7}.Example."""
     host = F.concat(F.lit("Site"), (d % 7).cast("string"), F.lit(".Example"))
-    url = (
+    return (
         F.when(d % 4 == 0, F.concat(F.lit("HTTPS://"), host, F.lit("/p/"), d.cast("string"), F.lit("/#sec")))
         .when(d % 4 == 1, F.concat(F.lit("https://"), F.lower(host), F.lit(":443/p/"), d.cast("string"), F.lit("?utm_source=a")))
         .when(d % 4 == 2, F.concat(F.lit("http://"), F.lower(host), F.lit(":80/p/"), d.cast("string"), F.lit("?id="), d.cast("string"), F.lit("&utm_b=z")))
         .otherwise(F.concat(F.lit("https://"), F.lower(host), F.lit("/p/"), d.cast("string")))
     )
+
+
+def _q_domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level corpus rollup — the aggregation web pipelines use for
+    domain-level spam/dup gating: canonicalize each page's crawl URL,
+    extract the host, and per domain count pages, distinct contents, and
+    verbatim re-crawl excess. 50 planted re-crawls (same text, id delta
+    divisible by 7 so they land on the SAME domain) make dup_docs
+    non-vacuous. The oracle derives the domain INDEPENDENTLY from doc_id %
+    7, so the row adjudicates the canonicalize→host path end-to-end."""
+    from daft_minhash_dedupe_spark.functions.url import canonical_url
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_006).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(copies)
+    domain = F.regexp_extract(
+        canonical_url(_synth_url(F.col("doc_id"))), r"^[a-z]+://([^/]+)", 1
+    )
+    return (
+        all_docs.select(domain.alias("domain"), "text")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        )
+        .withColumn(
+            "dup_docs", (F.col("n_docs") - F.col("n_unique_texts")).cast("long")
+        )
+    )
+
+
+def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over synthesized messy crawl urls: mixed-case
+    hosts, fragments, default ports, tracking params, trailing slashes —
+    RE2-safe regex chain mirrored by the oracle."""
+    from daft_minhash_dedupe_spark.functions.url import canonical_url
+
     return _docs(spark, sf_dir).select(
-        "doc_id", canonical_url(url).alias("canonical")
+        "doc_id", canonical_url(_synth_url(F.col("doc_id"))).alias("canonical")
     )
 
 
@@ -749,9 +831,14 @@ def _q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each click matched to the user's latest at-or-before
-    purchase (union + one window per key — no range join)."""
+def _q_asof_purchase_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, BOTH execution paths in one adjudicated row: arm 'single'
+    is the plain union + one-window-per-key plan, arm 'split' is the hot-key
+    mitigation (split_buckets: per-(key, time bucket) windows + boundary
+    carry stitch). Each arm's full result is value-hash-compared against the
+    same DuckDB ASOF JOIN — the arms were separate queries in rounds 2–3
+    (asof_purchase / asof_purchase_split, both green); packed so every
+    oracle row stays inside the driver's adjudication window."""
     from daft_minhash_dedupe_spark.extras.temporal import asof_join
 
     ev = spark.read.parquet(_t(sf_dir, "events"))
@@ -759,36 +846,22 @@ def _q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.unix_timestamp("ts").alias("purchase_epoch")
     )
-    out = asof_join(clicks, purchases, key="user_id", ts="ts", value_cols=["purchase_epoch"])
-    return out.select(
-        "event_id",
-        "user_id",
-        F.unix_timestamp("ts").alias("click_epoch"),
-        F.col("purchase_epoch_asof").alias("purchase_epoch"),
-    )
-
-
-def _q_asof_purchase_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hot-key-mitigated as-of join (split_buckets): per-(key, time
-    bucket) windows + boundary carry stitch — must match the same DuckDB
-    ASOF JOIN oracle as the single-window path."""
-    from daft_minhash_dedupe_spark.extras.temporal import asof_join
-
-    ev = spark.read.parquet(_t(sf_dir, "events"))
-    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.unix_timestamp("ts").alias("purchase_epoch")
-    )
-    out = asof_join(
-        clicks, purchases, key="user_id", ts="ts",
-        value_cols=["purchase_epoch"], split_buckets=8,
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        F.unix_timestamp("ts").alias("click_epoch"),
-        F.col("purchase_epoch_asof").alias("purchase_epoch"),
-    )
+    arms = []
+    for arm, buckets in (("single", None), ("split", 8)):
+        out = asof_join(
+            clicks, purchases, key="user_id", ts="ts",
+            value_cols=["purchase_epoch"], split_buckets=buckets,
+        )
+        arms.append(
+            out.select(
+                F.lit(arm).alias("arm"),
+                "event_id",
+                "user_id",
+                F.unix_timestamp("ts").alias("click_epoch"),
+                F.col("purchase_epoch_asof").alias("purchase_epoch"),
+            )
+        )
+    return arms[0].unionByName(arms[1])
 
 
 def _q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,26 +928,74 @@ def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The tier cascade run is shared by tiered_dedupe_stats (all four tiers,
+# rows-only — the minhash tier's survivor count is not SQL-expressible) and
+# tiered_boundaries (the three SQL-expressible tier boundaries, value-hash
+# adjudicated against a chained DuckDB CTE). One cascade execution per
+# (session, sf) feeds both rows.
+_TIERED_MEMO: dict[tuple[str, str], dict] = {}
+
+
+def _run_tiered(spark: SparkSession, sf_dir: str) -> dict:
+    from daft_minhash_dedupe_spark.extras.tiered import tiered_dedupe
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TIERED_MEMO:
+        base = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("header source "), F.col("source")),
+                F.col("text"),
+                F.lit("copyright footer all rights reserved"),
+            ).alias("text"),
+        )
+        # make every tier boundary non-vacuous (the raw sf tables carry no
+        # exact duplicates): 30 verbatim copies die at tier 0; 30 "revealed"
+        # copies differ from their base ONLY by a banner line that the line
+        # tier blocklists (30 docs >= the 5-doc threshold), so they become
+        # byte-identical to their base afterwards and die at tier 1b —
+        # exactly the re-digest rationale in extras/tiered.py
+        exact_copies = base.where(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        revealed = base.where(
+            (F.col("doc_id") >= 30) & (F.col("doc_id") < 60)
+        ).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("\nseasonal promo banner line")).alias(
+                "text"
+            ),
+        )
+        aug = base.unionByName(exact_copies).unionByName(revealed)
+        _TIERED_MEMO[key] = tiered_dedupe(aug, line_min_dup_docs=5)
+    return _TIERED_MEMO[key]
+
+
 def _q_tiered_dedupe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tier cascade (extras/tiered.py) over documents with the same planted
     line structure as line_dedupe_boilerplate: per-tier (tier, docs_in,
     docs_out). rows-only adjudication — the minhash tier's survivor count is
-    not SQL-expressible; each tier is separately oracle-checked by the
-    exact_dedupe / line_dedupe_boilerplate / minhash_dedupe_stats rows, and
-    the composition by tests/test_tiered.py."""
-    from daft_minhash_dedupe_spark.extras.tiered import tiered_dedupe, tiered_stats
+    not SQL-expressible; the three cheap tier boundaries of the SAME run are
+    value-hash adjudicated by tiered_boundaries, and the composition by
+    tests/test_tiered.py."""
+    from daft_minhash_dedupe_spark.extras.tiered import tiered_stats
 
-    aug = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.concat_ws(
-            "\n",
-            F.concat(F.lit("header source "), F.col("source")),
-            F.col("text"),
-            F.lit("copyright footer all rights reserved"),
-        ).alias("text"),
-    )
-    res = tiered_dedupe(aug, line_min_dup_docs=5)
-    return tiered_stats(res)
+    return tiered_stats(_run_tiered(spark, sf_dir))
+
+
+def _q_tiered_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascade's SQL-expressible tier boundaries as a full value-hash
+    oracle row: (tier, docs_in, docs_out) for exact → line_boilerplate →
+    exact_after_line, from the same memoized cascade run as
+    tiered_dedupe_stats. DuckDB recomputes the chain: distinct md5 digests,
+    then >= 5-doc boilerplate-line removal + empty drop over the tier-0
+    survivors, then distinct digests of the cleaned text — certifying the
+    tiers COMPOSE correctly, not just that each operator works alone."""
+    from daft_minhash_dedupe_spark.extras.tiered import tiered_stats
+
+    stats = tiered_stats(_run_tiered(spark, sf_dir))
+    return stats.where(F.col("tier") != "minhash")
 
 
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,50 +1023,47 @@ def _planted_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(planted)
 
 
-def _q_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checkable companion for the rows-only simhash kernel: SQL can't
-    reproduce xxhash64-seeded simhash values, but it CAN verify the planted
-    invariant that byte-identical texts get byte-identical fingerprints
-    (n_violations must be 0 over 50 planted duplicate pairs), plus the
-    group-structure counts it derives independently."""
-    sh = add_shingles(_planted_dup_docs(spark, sf_dir), "text", 5, "_sh").select(
-        "text", simhash64(F.col("_sh")).alias("simhash")
-    )
-    g = sh.groupBy("text").agg(
-        F.countDistinct("simhash").alias("k"), F.count("*").alias("n")
-    )
-    return g.agg(
-        F.count("*").alias("n_text_groups"),
-        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
-        F.sum(F.when((F.col("n") > 1) & (F.col("k") > 1), 1).otherwise(0)).alias(
-            "n_violations"
+def _q_kernel_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable companions for BOTH rows-only text fingerprint
+    kernels in one adjudicated row (packed from rounds-2/3 simhash_stats +
+    fingerprint_stats, each green, to keep the oracle board inside the
+    driver window). SQL can't reproduce the xxhash64-seeded kernels, but it
+    CAN verify the planted invariant that byte-identical texts fingerprint
+    identically (n_violations must be 0 over 50 planted duplicate pairs),
+    the group-structure counts it derives independently, and the null rule
+    (rolling_fp is null exactly when the doc tokenizes to nothing; simhash
+    is total — n_null_fingerprints 0)."""
+    sh = add_shingles(_planted_dup_docs(spark, sf_dir), "text", 5, "_sh")
+    arms = []
+    for kernel, fp_col in (
+        ("simhash", simhash64(F.col("_sh"))),
+        (
+            "rolling_fp",
+            F.when(F.size("_sh") == 0, F.lit(None).cast("bigint")).otherwise(
+                F.array_min("_sh")
+            ),
         ),
-    )
-
-
-def _q_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same pattern for the rolling-hash document fingerprint: planted-dup
-    equality (violations = 0) + the SQL-derivable null rule (fingerprint is
-    null exactly when the doc tokenizes to nothing)."""
-    fp = add_shingles(_planted_dup_docs(spark, sf_dir), "text", 5, "_sh").select(
-        "text",
-        F.when(F.size("_sh") == 0, F.lit(None).cast("bigint"))
-        .otherwise(F.array_min("_sh"))
-        .alias("fingerprint"),
-    )
-    g = fp.groupBy("text").agg(
-        F.countDistinct("fingerprint").alias("k"),
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("fingerprint").isNull(), 1).otherwise(0)).alias("n_null"),
-    )
-    return g.agg(
-        F.count("*").alias("n_text_groups"),
-        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
-        F.sum("n_null").alias("n_null_fingerprints"),
-        F.sum(F.when((F.col("n") > 1) & (F.col("k") > 1), 1).otherwise(0)).alias(
-            "n_violations"
-        ),
-    )
+    ):
+        g = (
+            sh.select("text", fp_col.alias("fp"))
+            .groupBy("text")
+            .agg(
+                F.countDistinct("fp").alias("k"),
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("fp").isNull(), 1).otherwise(0)).alias("n_null"),
+            )
+        )
+        arms.append(
+            g.agg(
+                F.count("*").alias("n_text_groups"),
+                F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+                F.sum("n_null").alias("n_null_fingerprints"),
+                F.sum(
+                    F.when((F.col("n") > 1) & (F.col("k") > 1), 1).otherwise(0)
+                ).alias("n_violations"),
+            ).select(F.lit(kernel).alias("kernel"), "*")
+        )
+    return arms[0].unionByName(arms[1])
 
 
 def _q_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1134,31 +1252,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "events_hourly": _q_events_hourly,
         "substring_dup_pairs": _q_substring_dups,
+        "substring_span_removal": _q_substring_span_removal,
         "html_blocks": _q_html_blocks,
         "media_metadata": _q_media_metadata,
         "media_features": _q_media_features,
         "wav_features": _q_wav_features,
         "ppm_features": _q_ppm_features,
         "ppm_resize": _q_ppm_resize,
-        "image_ahash_stats": _q_image_ahash_stats,
+        "media_fp_stats": _q_media_fp_stats,
         "image_near_dup": _q_image_near_dup,
-        "audio_fp_stats": _q_audio_fp_stats,
         "audio_near_dup": _q_audio_near_dup,
         "video_frame_plan": _q_video_frame_plan,
         "pricing_rollup": _q_pricing_rollup,
         "status_pivot": _q_status_pivot,
         "user_sessions": _q_user_sessions,
         "canonical_urls": _q_canonical_urls,
+        "domain_doc_stats": _q_domain_doc_stats,
         "token_topk": _q_token_topk,
-        "asof_purchase": _q_asof_purchase,
-        "asof_purchase_split": _q_asof_purchase_split,
+        "asof_purchase_arms": _q_asof_purchase_arms,
         "contamination_pairs": _q_contamination,
         "curated_corpus": _q_curated_corpus,
         "repetition_stats": _q_repetition_stats,
         "curation_filter": _q_curation_filter,
         "lang_id": _q_lang_id,
-        "simhash_stats": _q_simhash_stats,
-        "fingerprint_stats": _q_fingerprint_stats,
+        "kernel_fp_stats": _q_kernel_fp_stats,
+        "tiered_boundaries": _q_tiered_boundaries,
         "incremental_parity": _q_incremental_parity,
         "ivf_topk": _q_ivf_topk,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1300,21 +1418,16 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
             SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50
         """,
-        "asof_purchase": """
-            SELECT l.event_id, l.user_id,
-                   CAST(floor(epoch(l.ts)) AS BIGINT) AS click_epoch,
-                   CAST(floor(epoch(r.ts)) AS BIGINT) AS purchase_epoch
-            FROM (SELECT * FROM events WHERE event_type = 'click') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-              ON l.user_id = r.user_id AND l.ts >= r.ts
-        """,
-        "asof_purchase_split": """
-            SELECT l.event_id, l.user_id,
-                   CAST(floor(epoch(l.ts)) AS BIGINT) AS click_epoch,
-                   CAST(floor(epoch(r.ts)) AS BIGINT) AS purchase_epoch
-            FROM (SELECT * FROM events WHERE event_type = 'click') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-              ON l.user_id = r.user_id AND l.ts >= r.ts
+        "asof_purchase_arms": """
+            WITH aj AS (
+              SELECT l.event_id, l.user_id,
+                     CAST(floor(epoch(l.ts)) AS BIGINT) AS click_epoch,
+                     CAST(floor(epoch(r.ts)) AS BIGINT) AS purchase_epoch
+              FROM (SELECT * FROM events WHERE event_type = 'click') l
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+                ON l.user_id = r.user_id AND l.ts >= r.ts)
+            SELECT arm, event_id, user_id, click_epoch, purchase_epoch
+            FROM aj CROSS JOIN (SELECT unnest(['single', 'split']) AS arm) arms
         """,
         "contamination_pairs": f"""
             WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
@@ -1466,6 +1579,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT g.u AS u, w.doc_id AS v
             FROM w JOIN g USING (win) WHERE w.doc_id <> g.u
         """,
+        "substring_span_removal": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' this shared disclaimer sentence is appended to many documents verbatim'
+                          ELSE text END AS text
+              FROM documents),
+            arr AS (SELECT doc_id, {toks} AS t FROM aug),
+            wins AS (
+              SELECT doc_id, s,
+                     array_to_string(t[CAST(s AS INT):CAST(s + 7 AS INT)], ' ') AS w
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS s
+                    FROM arr WHERE len(t) >= 8)),
+            dup AS (SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS c
+                                   FROM wins GROUP BY w) WHERE c >= 2),
+            cov AS (SELECT DISTINCT doc_id, pos FROM (
+                      SELECT doc_id, unnest(generate_series(s, s + 7)) AS pos
+                      FROM wins SEMI JOIN dup USING (w))),
+            tk AS (SELECT doc_id, unnest(t) AS tok,
+                          unnest(generate_series(1, len(t))) AS pos
+                   FROM arr),
+            kept AS (SELECT doc_id, pos, tok FROM tk
+                     ANTI JOIN cov USING (doc_id, pos)),
+            reb AS (SELECT doc_id, count(*) AS kept_n,
+                           string_agg(tok, ' ' ORDER BY pos) AS ct
+                    FROM kept GROUP BY doc_id)
+            SELECT a.doc_id,
+                   CAST(len(a.t) AS BIGINT) AS total_tokens,
+                   CAST(len(a.t) - coalesce(reb.kept_n, 0) AS BIGINT) AS removed_tokens,
+                   coalesce(reb.ct, '') AS cleaned_text
+            FROM arr a LEFT JOIN reb USING (doc_id)
+        """,
+        "domain_doc_stats": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000006, text FROM documents WHERE doc_id < 50),
+            u AS (SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS domain,
+                         text
+                  FROM all_docs)
+            SELECT domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+                   CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs
+            FROM u GROUP BY domain
+        """,
+        "tiered_boundaries": """
+            WITH base AS (
+              SELECT doc_id,
+                     'header source ' || source || chr(10) || text || chr(10)
+                     || 'copyright footer all rights reserved' AS text
+              FROM documents),
+            aug AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM base WHERE doc_id < 30
+              UNION ALL
+              SELECT doc_id + 2000000,
+                     text || chr(10) || 'seasonal promo banner line'
+              FROM base WHERE doc_id >= 30 AND doc_id < 60),
+            t0 AS (SELECT doc_id, text,
+                          min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+                   FROM aug),
+            s0 AS (SELECT doc_id, text FROM t0 WHERE doc_id = keep),
+            l AS (SELECT doc_id,
+                         unnest(string_split(text, chr(10))) AS line,
+                         unnest(generate_series(1, len(string_split(text, chr(10))))) AS idx
+                  FROM s0),
+            ln AS (SELECT doc_id, idx, line, trim(lower(line)) AS k FROM l),
+            bl AS (SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS c
+                                  FROM ln GROUP BY k) WHERE c >= 5),
+            kept AS (SELECT * FROM ln ANTI JOIN bl USING (k)),
+            cleaned AS (
+              SELECT s0.doc_id, coalesce(g.ct, '') AS ct
+              FROM s0 LEFT JOIN (SELECT doc_id,
+                                        string_agg(line, chr(10) ORDER BY idx) AS ct
+                                 FROM kept GROUP BY doc_id) g USING (doc_id)),
+            s1 AS (SELECT doc_id, ct FROM cleaned WHERE ct <> ''),
+            n AS (SELECT (SELECT count(*) FROM aug) AS n_aug,
+                         (SELECT count(*) FROM s0) AS n_s0,
+                         (SELECT count(*) FROM s1) AS n_s1,
+                         (SELECT count(DISTINCT md5(ct)) FROM s1) AS n_s1b)
+            SELECT 'exact' AS tier, CAST(n_aug AS BIGINT) AS docs_in,
+                   CAST(n_s0 AS BIGINT) AS docs_out FROM n
+            UNION ALL SELECT 'line_boilerplate', CAST(n_s0 AS BIGINT),
+                             CAST(n_s1 AS BIGINT) FROM n
+            UNION ALL SELECT 'exact_after_line', CAST(n_s1 AS BIGINT),
+                             CAST(n_s1b AS BIGINT) FROM n
+        """,
         "html_blocks": """
             SELECT CAST(doc_id AS VARCHAR) || '-0' AS block_id,
                    'Doc ' || CAST(doc_id AS VARCHAR) AS block_text
@@ -1528,20 +1730,23 @@ def oracle_sql() -> dict[str, str]:
                    pixel_sum
             FROM sums
         """,
-        "image_ahash_stats": """
-            WITH s AS (
-              SELECT doc_id,
-                     rpad(regexp_replace(text, '[^ -t]', '', 'g'), 768, ' ') AS src
-              FROM documents),
+        "media_fp_stats": """
+            WITH src AS (
+              SELECT k.kind, s.doc_id,
+                     rpad(s.src0, CASE WHEN k.kind = 'image_ahash' THEN 768 ELSE 256 END, ' ') AS src
+              FROM (SELECT doc_id, regexp_replace(text, '[^ -t]', '', 'g') AS src0
+                    FROM documents) s
+              CROSS JOIN (SELECT unnest(['image_ahash', 'audio_fp']) AS kind) k),
             all_rows AS (
-              SELECT src FROM s
-              UNION ALL SELECT src FROM s WHERE doc_id < 50
-              UNION ALL SELECT src FROM s WHERE doc_id >= 50 AND doc_id < 100),
-            g AS (SELECT src, count(*) AS n FROM all_rows GROUP BY src)
-            SELECT CAST(count(*) AS BIGINT) AS n_src_groups,
+              SELECT kind, src FROM src
+              UNION ALL SELECT kind, src FROM src WHERE doc_id < 50
+              UNION ALL SELECT kind, src FROM src WHERE doc_id >= 50 AND doc_id < 100),
+            g AS (SELECT kind, src, count(*) AS n FROM all_rows GROUP BY kind, src)
+            SELECT kind,
+                   CAST(count(*) AS BIGINT) AS n_src_groups,
                    CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
                    CAST(0 AS BIGINT) AS n_violations
-            FROM g
+            FROM g GROUP BY kind
         """,
         "image_near_dup": """
             WITH s AS (
@@ -1572,21 +1777,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT u.media_id AS u, v.media_id AS v
             FROM packed u JOIN packed v ON u.media_id < v.media_id
             WHERE bit_count(xor(u.lo, v.lo)) + bit_count(xor(u.hi, v.hi)) <= 3
-        """,
-        "audio_fp_stats": """
-            WITH s AS (
-              SELECT doc_id,
-                     rpad(regexp_replace(text, '[^ -t]', '', 'g'), 256, ' ') AS src
-              FROM documents),
-            all_rows AS (
-              SELECT src FROM s
-              UNION ALL SELECT src FROM s WHERE doc_id < 50
-              UNION ALL SELECT src FROM s WHERE doc_id >= 50 AND doc_id < 100),
-            g AS (SELECT src, count(*) AS n FROM all_rows GROUP BY src)
-            SELECT CAST(count(*) AS BIGINT) AS n_src_groups,
-                   CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
-                   CAST(0 AS BIGINT) AS n_violations
-            FROM g
         """,
         "audio_near_dup": f"""
             WITH s AS (
@@ -1732,30 +1922,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
         """,
-        "simhash_stats": """
-            WITH all_docs AS (
-              SELECT doc_id, text FROM documents
-              UNION ALL
-              SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
-            g AS (SELECT text, count(*) AS n FROM all_docs GROUP BY text)
-            SELECT CAST(count(*) AS BIGINT) AS n_text_groups,
-                   CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
-                   CAST(0 AS BIGINT) AS n_violations
-            FROM g
-        """,
-        "fingerprint_stats": f"""
+        "kernel_fp_stats": f"""
             WITH all_docs AS (
               SELECT doc_id, text FROM documents
               UNION ALL
               SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
             g AS (SELECT text, count(*) AS n,
                          CASE WHEN len({toks}) = 0 THEN count(*) ELSE 0 END AS n_null
-                  FROM all_docs GROUP BY text)
-            SELECT CAST(count(*) AS BIGINT) AS n_text_groups,
-                   CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
-                   CAST(sum(n_null) AS BIGINT) AS n_null_fingerprints,
-                   CAST(0 AS BIGINT) AS n_violations
-            FROM g
+                  FROM all_docs GROUP BY text),
+            one AS (SELECT CAST(count(*) AS BIGINT) AS n_text_groups,
+                           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+                           CAST(sum(n_null) AS BIGINT) AS n_nulls,
+                           CAST(0 AS BIGINT) AS n_violations
+                    FROM g)
+            SELECT 'simhash' AS kernel, n_text_groups, n_dup_groups,
+                   CAST(0 AS BIGINT) AS n_null_fingerprints, n_violations FROM one
+            UNION ALL
+            SELECT 'rolling_fp', n_text_groups, n_dup_groups, n_nulls, n_violations FROM one
         """,
         "incremental_parity": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

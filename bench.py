@@ -94,6 +94,54 @@ def run_tiered(
     return time.time() - t0, rows_in
 
 
+def run_exactsubstr(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    min_tokens: int = 80,
+    max_tokens: int = 400,
+    window_tokens: int = 20,
+) -> dict:
+    """Exact-substring span removal throughput on the same corpus the
+    flagship uses (its duplicate families share long verbatim runs, so the
+    blocklist and rebuild paths both do real work). Clocked: the full
+    window-hash -> blocklist -> rebuild job; removal stats measured after."""
+    from pyspark.sql import functions as F
+
+    from daft_minhash_dedupe_spark.extras.exact_substring import (
+        remove_duplicate_spans,
+    )
+    from daft_minhash_dedupe_spark.pipeline import prepare_web_pages
+    from daft_minhash_dedupe_spark.sources.synthetic_spark import bench_corpus
+
+    df = prepare_web_pages(
+        bench_corpus(spark, n_docs, seed, min_tokens=min_tokens, max_tokens=max_tokens)
+    ).localCheckpoint(eager=True)
+    rows_in = df.count()
+    t0 = time.time()
+    out = remove_duplicate_spans(
+        df, text_col="block_text", id_col="block_id", window_tokens=window_tokens
+    )
+    out.write.format("noop").mode("overwrite").save()
+    sec = time.time() - t0
+    stats = out.agg(
+        F.sum("total_tokens").alias("tok"),
+        F.sum("removed_tokens").alias("rem"),
+        F.sum((F.col("removed_tokens") > 0).cast("long")).alias("touched"),
+    ).first()
+    return {
+        "metric": "exactsubstr_removal_seconds",
+        "value": round(sec, 2),
+        "unit": "sec",
+        "rows": rows_in,
+        "docs_per_sec": round(rows_in / sec, 1),
+        "window_tokens": window_tokens,
+        "total_tokens": stats["tok"],
+        "removed_tokens": stats["rem"],
+        "docs_touched": stats["touched"],
+    }
+
+
 def run_documents_dedupe(spark, sf_dir: str) -> tuple[float, int]:
     import __spark_entry__ as e
 
@@ -244,6 +292,11 @@ def main() -> None:
         help="salted vs naive bucket aggregation on a planted hot band "
         "(--docs = total band rows; one bucket holds 25%% of them)",
     )
+    ap.add_argument(
+        "--exactsubstr",
+        action="store_true",
+        help="exact-substring span-removal throughput on the flagship corpus",
+    )
     ap.add_argument("--docs", type=int, default=int(os.environ.get("BENCH_DOCS", "20000")))
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument(
@@ -253,6 +306,12 @@ def main() -> None:
     )
     ap.add_argument("--min-tokens", type=int, default=80)
     ap.add_argument("--max-tokens", type=int, default=400)
+    ap.add_argument(
+        "--window-tokens",
+        type=int,
+        default=20,
+        help="--exactsubstr only: duplicated-run window length k",
+    )
     ap.add_argument(
         "--repeats",
         type=int,
@@ -326,6 +385,22 @@ def main() -> None:
     if args.skew:
         spark = _fresh_spark(CPUS)
         print(json.dumps(run_skew(spark, args.docs, repeats=max(args.repeats, 2))))
+        spark.stop()
+        return
+
+    if args.exactsubstr:
+        spark = _fresh_spark(CPUS)
+        print(
+            json.dumps(
+                run_exactsubstr(
+                    spark,
+                    args.docs,
+                    min_tokens=args.min_tokens,
+                    max_tokens=args.max_tokens,
+                    window_tokens=args.window_tokens,
+                )
+            )
+        )
         spark.stop()
         return
 

@@ -1,0 +1,195 @@
+"""Exact-substring span REMOVAL — the suffix-array dedup family's rewrite op.
+
+``substring_dedupe.py`` detects document PAIRS sharing a verbatim k-token
+run; this module implements the other half of Lee et al. ("Deduplicating
+Training Data Makes Language Models Better", ACL'22 — public method): find
+every k-token window whose content recurs across >= ``min_dup_docs``
+distinct documents and REMOVE the covered tokens from each document,
+keeping the unique remainder. The paper builds a corpus-wide suffix array —
+inherently sequential; the standard distributed equivalent (same recall at
+window granularity) is the rolling k-token window hash: any duplicated run
+of length >= k is a union of duplicated k-windows, so removing covered
+tokens removes exactly the tokens that participate in some cross-document
+verbatim run of >= k tokens.
+
+Token-level, not byte-level: documents are tokenized on whitespace and
+reconstructed with single spaces. That makes the operator a *normalizing*
+rewrite (like ``line_dedupe``), keeps every step SQL-mirrorable for the
+oracle, and avoids byte-offset bookkeeping that buys nothing for training
+-data curation.
+
+Scale shape (100 TB):
+- window hashing is a narrow per-document Catalyst ``transform`` over the
+  token array — no shuffle, no Python;
+- the duplicated-window blocklist is the same two-stage partial-aggregated
+  frequency count as ``line_dedupe.boilerplate_lines`` (distinct
+  (window, doc) first, then count), so a window present in EVERY document
+  reaches its reducer as O(map_tasks) rows, never O(corpus);
+- the hit join is an equi-join on 8-byte window hashes; AQE picks
+  broadcast when the blocklist is small (the usual case — duplicated
+  windows are the repeated minority) and falls back to shuffle when a
+  pathological threshold makes it large;
+- reconstruction shuffles ONE row per touched document (the sorted set of
+  duplicated-window starts — bounded by the document's own window count,
+  never corpus frequency); span merge and token filtering are narrow
+  per-row array arithmetic, and untouched documents (the majority) never
+  shuffle at all — their rewrite is a scan-stage whitespace collapse.
+
+Windows are keyed by ``xxhash64`` of the space-joined window (8 bytes
+shuffled per window instead of ~k tokens of text); the DuckDB oracle groups
+by the window STRING itself, so the two sides differ only on a 64-bit hash
+collision (~1e-10 at test scale; at 100 TB a collision removes one
+k-token span spuriously — curation-acceptable, same trade as the LSH
+band digests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: Column) -> Column:
+    """Whitespace tokens with empties dropped (mirrors the oracle's
+    ``list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')``)."""
+    return F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
+
+
+def window_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 20,
+) -> DataFrame:
+    """(id_col, start, whash): every k-token window, 1-based start position.
+
+    ``sequence(1, m)`` is guarded with a ``when`` — Spark's sequence runs
+    DESCENDING for m < 1, so short docs would otherwise emit phantom
+    windows. The token array is materialized (lazy localCheckpoint) before
+    the explode to defeat CollapseProject re-evaluating the tokenize chain
+    inside the Generate (same trap as operators/banding.py:44-50).
+    """
+    k = int(window_tokens)
+    with_tok = df.select(
+        id_col, _tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=False)
+    n = F.size("_toks")
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = with_tok.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.xxhash64(
+                        F.array_join(F.slice("_toks", i, k), " ")
+                    ).alias("whash"),
+                ),
+            )
+        ).alias("_w"),
+    )
+    return wins.select(id_col, F.col("_w.start").alias("start"), F.col("_w.whash").alias("whash"))
+
+
+def duplicated_windows(
+    postings: DataFrame, id_col: str, min_dup_docs: int = 2
+) -> DataFrame:
+    """Blocklist: window hashes in >= min_dup_docs DISTINCT documents.
+
+    Two-stage distinct-then-count so both aggregations partial-combine
+    map-side (see module docstring)."""
+    return (
+        postings.select("whash", id_col)
+        .distinct()
+        .groupBy("whash")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_dup_docs)
+        .select("whash")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 20,
+    min_dup_docs: int = 2,
+) -> DataFrame:
+    """Remove every token covered by a cross-document duplicated k-window.
+
+    Output: (id_col, total_tokens, removed_tokens, cleaned_text) — one row
+    per input document. A document that is entirely duplicated material
+    survives with cleaned_text = '' (dropping it is the caller's policy,
+    exactly as ``line_dedupe`` leaves the empty-doc decision to the
+    caller). Deterministic: a pure function of corpus content, so output is
+    identical across parallelism levels and resume boundaries.
+    """
+    k = int(window_tokens)
+    # materialized lazily: both the blocklist aggregation and the hit join
+    # read the postings — without the checkpoint the window hashing (the
+    # most expensive narrow stage) runs twice
+    postings = window_postings(df, text_col, id_col, window_tokens=k).localCheckpoint(
+        eager=False
+    )
+    blocklist = duplicated_windows(postings, id_col, min_dup_docs=min_dup_docs)
+    hits = postings.join(blocklist, "whash", "left_semi")
+
+    # One row per touched doc: the sorted set of duplicated-window starts.
+    # Bounded by one document's window count (same per-doc bound as
+    # line_dedupe's rebuild), never by corpus frequency. Everything after
+    # this groupBy is narrow per-row array arithmetic — the earlier
+    # formulation exploded every window into k covered-position rows
+    # (k× shuffle amplification) and every token of every touched doc into
+    # a row for an anti-join + rebuild groupBy; measured 4.6× slower
+    # (177 s vs 39 s at 50k docs / 12M tokens, identical output stats).
+    hit_starts = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("start")).alias("_starts")
+    )
+
+    base = df.select(
+        id_col,
+        F.col(text_col).alias("_text"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("total_tokens"),
+    )
+    # Untouched documents (the majority at corpus scale) never shuffle:
+    # their cleaned_text is just tokens rejoined with single spaces — a
+    # scan-stage trim + whitespace collapse.
+    untouched = base.join(hit_starts.select(id_col), id_col, "left_anti").select(
+        id_col,
+        "total_tokens",
+        F.lit(0).cast("long").alias("removed_tokens"),
+        F.trim(F.regexp_replace("_text", r"\s+", " ")).alias("cleaned_text"),
+    )
+
+    toks = _tokens(F.col("_text"))
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("_starts"), lambda s: F.sequence(s, s + F.lit(k - 1)))
+        )
+    )
+    touched = (
+        base.join(hit_starts, id_col)
+        .select(id_col, "total_tokens", toks.alias("_toks"), "_starts")
+        .select(
+            id_col,
+            "total_tokens",
+            F.col("_toks"),
+            F.array_except(
+                F.sequence(F.lit(1), F.size("_toks")), covered
+            ).alias("_kp"),
+        )
+        .select(
+            id_col,
+            "total_tokens",
+            (F.col("total_tokens") - F.size("_kp")).cast("long").alias(
+                "removed_tokens"
+            ),
+            F.array_join(
+                F.transform(F.col("_kp"), lambda p: F.element_at("_toks", p)), " "
+            ).alias("cleaned_text"),
+        )
+    )
+    return untouched.unionByName(touched)

@@ -123,3 +123,16 @@ def test_entry_smoke(spark):
     n = out.count()
     assert n > 0
     assert out.columns == ["block_id", "cluster_id"]
+
+
+def test_oracle_rows_fit_driver_adjudication_window():
+    """The driver's correctness file adjudicates only the FIRST 50 queries()
+    entries (round-3 lesson: 5 green oracle rows fell off the end). Pin the
+    packing invariant: every oracle-backed row sits inside the window and
+    every rows-only entry sits after it."""
+    q = list(entry_mod.queries().keys())
+    o = set(entry_mod.oracle_sql().keys())
+    assert o <= set(q)
+    assert len(o) <= 50
+    assert [k for k in q[50:] if k in o] == []
+    assert [k for k in q[:len(o)] if k not in o] == []

@@ -1276,3 +1276,146 @@ def test_redact_pii_idempotent(spark, texts):
     )
     for r in twice.select("r1", "r2").collect():
         assert r["r1"] == r["r2"]
+
+
+# -- exact-substring span removal ---------------------------------------------
+
+
+def _py_remove_spans(texts, k, min_dup_docs=2):
+    """Pure-Python behavioral oracle for remove_duplicate_spans: hash every
+    k-token window by CONTENT, blocklist = windows in >= N distinct docs,
+    remove covered token positions, rejoin with single spaces."""
+    from collections import defaultdict
+
+    toks = [t.split() for t in texts]
+    docs_per_win = defaultdict(set)
+    for i, tt in enumerate(toks):
+        for s in range(len(tt) - k + 1):
+            docs_per_win[" ".join(tt[s : s + k])].add(i)
+    out = {}
+    for i, tt in enumerate(toks):
+        covered = set()
+        for s in range(len(tt) - k + 1):
+            if len(docs_per_win[" ".join(tt[s : s + k])]) >= min_dup_docs:
+                covered.update(range(s, s + k))
+        kept = [t for p, t in enumerate(tt) if p not in covered]
+        out[i] = (len(tt), len(tt) - len(kept), " ".join(kept))
+    return out
+
+
+def test_remove_duplicate_spans_basic(spark):
+    """Hand-derived case: two docs share a verbatim 4-token run; only the
+    covered tokens go, unique prefix/suffix tokens stay."""
+    from daft_minhash_dedupe_spark.extras.exact_substring import (
+        remove_duplicate_spans,
+    )
+
+    texts = [
+        "alpha beta the quick brown fox gamma",
+        "delta the quick brown fox epsilon zeta",
+        "totally unrelated words here only once",
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            _docs(spark, texts), window_tokens=4
+        ).collect()
+    }
+    assert rows[0]["cleaned_text"] == "alpha beta gamma"
+    assert rows[0]["removed_tokens"] == 4 and rows[0]["total_tokens"] == 7
+    assert rows[1]["cleaned_text"] == "delta epsilon zeta"
+    assert rows[2]["removed_tokens"] == 0
+    assert rows[2]["cleaned_text"] == texts[2]
+
+
+def test_remove_duplicate_spans_overlapping_runs(spark):
+    """A shared run longer than k is a union of k-windows: the WHOLE run is
+    covered, not just the first window."""
+    from daft_minhash_dedupe_spark.extras.exact_substring import (
+        remove_duplicate_spans,
+    )
+
+    shared = "one two three four five six"
+    rows = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            _docs(spark, [f"a {shared} b", f"c {shared} d"]), window_tokens=3
+        ).collect()
+    }
+    assert rows[0]["cleaned_text"] == "a b"
+    assert rows[1]["cleaned_text"] == "c d"
+
+
+def test_remove_duplicate_spans_short_and_empty_docs(spark):
+    """Docs shorter than k emit no windows (sequence guard) and survive
+    verbatim; an all-duplicate doc survives with cleaned_text = ''."""
+    from daft_minhash_dedupe_spark.extras.exact_substring import (
+        remove_duplicate_spans,
+    )
+
+    dup = "p q r s"
+    rows = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            _docs(spark, ["tiny", "", dup, dup + " extra tail words"]),
+            window_tokens=4,
+        ).collect()
+    }
+    assert len(rows) == 4
+    assert rows[0]["cleaned_text"] == "tiny" and rows[0]["removed_tokens"] == 0
+    assert rows[1]["cleaned_text"] == "" and rows[1]["total_tokens"] == 0
+    assert rows[2]["cleaned_text"] == "" and rows[2]["removed_tokens"] == 4
+    assert rows[3]["cleaned_text"] == "extra tail words"
+
+
+def test_remove_duplicate_spans_whitespace_normalization(spark):
+    """Tokenization is \\s+ with empties dropped: runs differing only in
+    whitespace ARE the same window; reconstruction is single-spaced."""
+    from daft_minhash_dedupe_spark.extras.exact_substring import (
+        remove_duplicate_spans,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            _docs(spark, ["x  a\tb\nc d", "y a b  c\nd"]), window_tokens=4
+        ).collect()
+    }
+    assert rows[0]["cleaned_text"] == "x"
+    assert rows[1]["cleaned_text"] == "y"
+
+
+_span_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=2, max_size=6
+)
+
+
+@given(_span_texts)
+@settings(max_examples=8, deadline=None)
+def test_remove_duplicate_spans_matches_python_oracle(spark, texts):
+    """Random tiny-alphabet corpora (dense window collisions by construction)
+    vs the pure-Python content-keyed oracle."""
+    from daft_minhash_dedupe_spark.extras.exact_substring import (
+        remove_duplicate_spans,
+    )
+
+    expected = _py_remove_spans(texts, k=2)
+    out = remove_duplicate_spans(_docs(spark, texts), window_tokens=2).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        assert (
+            r["total_tokens"], r["removed_tokens"], r["cleaned_text"]
+        ) == expected[r["doc_id"]]
+
+
+def test_remove_duplicate_spans_min_dup_docs_threshold(spark):
+    """min_dup_docs=3: a run shared by only two docs is NOT removed."""
+    from daft_minhash_dedupe_spark.extras.exact_substring import (
+        remove_duplicate_spans,
+    )
+
+    t = ["a k1 k2 k3 b", "c k1 k2 k3 d", "e f g h i"]
+    rows = remove_duplicate_spans(
+        _docs(spark, t), window_tokens=3, min_dup_docs=3
+    ).collect()
+    assert all(r["removed_tokens"] == 0 for r in rows)

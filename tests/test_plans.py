@@ -159,3 +159,22 @@ def test_curate_corpus_gates_in_scan_stage(spark):
     assert "Python" not in plan, plan  # no UDF fell into the hot path
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,25)" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_exact_substring_removal_plan_shape(spark):
+    """The span-removal hot path must stay JVM-side and partial-aggregated:
+    no Python eval anywhere (window hashing is pure Catalyst), and the
+    duplicated-window count partial-combines map-side so a corpus-wide
+    window reaches its reducer as O(tasks) rows."""
+    from daft_minhash_dedupe_spark.extras.exact_substring import (
+        duplicated_windows,
+        remove_duplicate_spans,
+        window_postings,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    full = _plan(remove_duplicate_spans(docs, window_tokens=8))
+    assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full
+    bl = _plan(duplicated_windows(window_postings(docs, window_tokens=8), "doc_id"))
+    # distinct (partial+final) then count (partial+final)
+    assert bl.count("HashAggregate") >= 4

@@ -117,10 +117,11 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     window_tokens: int = 20,
     min_dup_docs: int = 2,
+    out_col: str = "cleaned_text",
 ) -> DataFrame:
     """Remove every token covered by a cross-document duplicated k-window.
 
-    Output: (id_col, total_tokens, removed_tokens, cleaned_text) — one row
+    Output: (id_col, total_tokens, removed_tokens, out_col) — one row
     per input document. A document that is entirely duplicated material
     survives with cleaned_text = '' (dropping it is the caller's policy,
     exactly as ``line_dedupe`` leaves the empty-doc decision to the
@@ -161,7 +162,7 @@ def remove_duplicate_spans(
         id_col,
         "total_tokens",
         F.lit(0).cast("long").alias("removed_tokens"),
-        F.trim(F.regexp_replace("_text", r"\s+", " ")).alias("cleaned_text"),
+        F.trim(F.regexp_replace("_text", r"\s+", " ")).alias(out_col),
     )
 
     toks = _tokens(F.col("_text"))
@@ -189,7 +190,7 @@ def remove_duplicate_spans(
             ),
             F.array_join(
                 F.transform(F.col("_kp"), lambda p: F.element_at("_toks", p)), " "
-            ).alias("cleaned_text"),
+            ).alias(out_col),
         )
     )
     return untouched.unionByName(touched)

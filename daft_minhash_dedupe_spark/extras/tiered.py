@@ -15,6 +15,14 @@ expensive one):
                      must)
   tier 1b exact'     re-digest the cleaned text: stripping boilerplate can
                      reveal verbatim duplicates tier 0 could not see
+  tier 1c substr     (optional) exact-substring span removal
+                     (extras/exact_substring.py, Lee et al. ExactSubstr):
+                     cut every token covered by a k-token window recurring
+                     across documents — runs-level duplication that line
+                     granularity cannot see (quotes, syndicated paragraphs
+                     flowing across line breaks)
+  tier 1d exact''    re-digest after span removal — cutting shared runs can
+                     again reveal verbatim duplicates
   tier 2  minhash    the flagship MinHash→LSH→CC pipeline (pipeline.py) on
                      the cleaned text — the expensive tier sees only what
                      the cheap tiers could not resolve
@@ -49,6 +57,7 @@ def tiered_dedupe(
     id_col: str = "doc_id",
     text_col: str = "text",
     line_min_dup_docs: int | None = 5,
+    substring_window_tokens: int | None = None,
     minhash_config: DedupeConfig | None = None,
     minhash_overrides: dict | None = None,
     run_minhash: bool = True,
@@ -57,9 +66,11 @@ def tiered_dedupe(
 ) -> dict:
     """Run the tier cascade; returns {"survivors", "metrics", "cleaned_col"}.
 
-    survivors: (id_col, text_col original, cleaned_text) — one row per kept
-    doc. metrics: list of {"tier", "docs_in", "docs_out"} dicts (counted at
-    tier boundaries; pass collect_metrics=False to stay fully lazy).
+    survivors: (id_col, text_col original, + one rewrite column per enabled
+    rewrite tier: cleaned_text after the line tier, substr_text after the
+    substr tier; "cleaned_col" names the final one) — one row per kept doc.
+    metrics: list of {"tier", "docs_in", "docs_out"} dicts (counted at tier
+    boundaries; pass collect_metrics=False to stay fully lazy).
     """
     metrics: list[dict] = []
     _counts: dict[int, int] = {}
@@ -110,6 +121,33 @@ def tiered_dedupe(
         t1b = _mat(exact_dedupe(t1, text_col=cleaned_col, id_col=id_col))
         _record("exact_after_line", t1, t1b)
         cur = t1b
+
+    # tier 1c: exact-substring span removal on the (possibly line-cleaned)
+    # text — catches verbatim RUNS that cross line boundaries, which the
+    # line tier by construction cannot see
+    if substring_window_tokens is not None:
+        from daft_minhash_dedupe_spark.extras.exact_substring import (
+            remove_duplicate_spans,
+        )
+
+        spans = remove_duplicate_spans(
+            cur.select(id_col, F.col(cleaned_col).alias("__substr_in")),
+            text_col="__substr_in",
+            id_col=id_col,
+            window_tokens=substring_window_tokens,
+            out_col="substr_text",
+        ).select(id_col, "substr_text")
+        t1c = cur.join(spans, id_col)
+        if drop_empty_after_line:
+            t1c = t1c.where(F.col("substr_text") != "")
+        t1c = _mat(t1c)
+        cleaned_col = "substr_text"
+        _record("substr_spans", cur, t1c)
+        # tier 1d: exact again — cutting shared runs can reveal verbatim
+        # duplicates, exactly as tier 1b does after line removal
+        t1d = _mat(exact_dedupe(t1c, text_col=cleaned_col, id_col=id_col))
+        _record("exact_after_substr", t1c, t1d)
+        cur = t1d
 
     # tier 2: MinHash near-dup on the cleaned text. Ids round-trip through
     # their string form (the pipeline's index is a string key), so the tier

@@ -58,12 +58,13 @@ def parse_args():
     p.add_argument(
         "--tiers",
         default="minhash",
-        help="comma list from {exact,line,minhash} (cascade always runs "
-        "cheapest-first: exact → line-boilerplate → exact-on-cleaned → "
-        "minhash). The default 'minhash' is the single-tier flagship "
-        "pipeline with stage checkpoints / resume / incremental support; "
-        "any other combination runs the tiered cascade (extras/tiered.py) "
-        "and writes survivors + per-tier metrics.",
+        help="comma list from {exact,line,substr,minhash} (cascade always "
+        "runs cheapest-first: exact → line-boilerplate → exact-on-cleaned "
+        "→ substring-span-removal → exact-on-cleaned → minhash). The "
+        "default 'minhash' is the single-tier flagship pipeline with stage "
+        "checkpoints / resume / incremental support; any other combination "
+        "runs the tiered cascade (extras/tiered.py) and writes survivors + "
+        "per-tier metrics.",
     )
     p.add_argument(
         "--line-min-dup-docs",
@@ -72,11 +73,20 @@ def parse_args():
         help="line tier: a line is boilerplate when it appears in >= N "
         "distinct documents",
     )
+    p.add_argument(
+        "--substr-window-tokens",
+        type=int,
+        default=20,
+        help="substr tier: remove tokens covered by a k-token window "
+        "recurring across documents (extras/exact_substring.py)",
+    )
     args = p.parse_args()
     args.tier_set = {t.strip() for t in args.tiers.split(",") if t.strip()}
-    bad = args.tier_set - {"exact", "line", "minhash"}
+    bad = args.tier_set - {"exact", "line", "substr", "minhash"}
     if bad:
-        p.error(f"unknown tiers: {sorted(bad)} (choose from exact,line,minhash)")
+        p.error(
+            f"unknown tiers: {sorted(bad)} (choose from exact,line,substr,minhash)"
+        )
     if args.tier_set != {"minhash"} and args.prior_checkpoint:
         p.error(
             "--prior-checkpoint (incremental mode) requires the default "
@@ -182,8 +192,9 @@ def run_incremental(spark, args, df, cfg) -> None:
 
 
 def run_tiered(spark, args, df, cfg, t0) -> None:
-    """Tiered cascade mode: exact → line-boilerplate → exact' → minhash,
-    honoring --tiers membership; writes survivors + prints per-tier metrics."""
+    """Tiered cascade mode: exact → line-boilerplate → exact' →
+    substring-span-removal → exact'' → minhash, honoring --tiers
+    membership; writes survivors + prints per-tier metrics."""
     from daft_minhash_dedupe_spark.extras.tiered import tiered_dedupe
     from daft_minhash_dedupe_spark.io import write_table
 
@@ -193,6 +204,9 @@ def run_tiered(spark, args, df, cfg, t0) -> None:
         text_col=cfg.content_col,
         line_min_dup_docs=(
             args.line_min_dup_docs if "line" in args.tier_set else None
+        ),
+        substring_window_tokens=(
+            args.substr_window_tokens if "substr" in args.tier_set else None
         ),
         run_minhash="minhash" in args.tier_set,
         minhash_overrides={

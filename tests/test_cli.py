@@ -134,8 +134,8 @@ def test_cluster_ids_deterministic_across_parallelism_and_resume(spark, tmp_path
 
 
 def test_cli_tiered_mode(spark, tmp_path):
-    """--tiers exact,line,minhash runs the cascade over URL-string ids and
-    writes survivors + prints per-tier metrics."""
+    """--tiers exact,line,substr,minhash runs the full cascade over
+    URL-string ids and writes survivors + prints per-tier metrics."""
     import os
 
     from daft_minhash_dedupe_spark.sources.synthetic import generate_web_pages
@@ -151,14 +151,18 @@ def test_cli_tiered_mode(spark, tmp_path):
         [
             sys.executable, "main.py",
             "--input", inp, "--output", out,
-            "--tiers", "exact,line,minhash", "--line-min-dup-docs", "3",
+            "--tiers", "exact,line,substr,minhash",
+            "--line-min-dup-docs", "3", "--substr-window-tokens", "8",
         ],
         capture_output=True, text=True, timeout=600, env=env, cwd=str(REPO),
     )
     assert r.returncode == 0, (r.stderr or r.stdout)[-3000:]
     assert "tier exact" in r.stdout and "tier minhash" in r.stdout
+    assert "tier substr_spans" in r.stdout
     surv = spark.read.parquet(f"{out}/survivors")
-    assert {"block_id", "block_text", "cleaned_text"} <= set(surv.columns)
+    assert {"block_id", "block_text", "cleaned_text", "substr_text"} <= set(
+        surv.columns
+    )
     n = surv.count()
     assert 0 < n <= 60
     # survivor ids are a subset of the input's url universe (string ids

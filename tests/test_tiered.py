@@ -80,3 +80,69 @@ def test_tiered_without_line_tier(spark):
     assert [m["tier"] for m in res["metrics"]] == ["exact"]
     assert res["survivors"].count() == 17
     assert res["cleaned_col"] == "text"
+
+
+def test_tiered_substr_tier_and_reveal(spark):
+    """substr tier (k=4): shared 4-token runs are cut; two docs that become
+    identical after the cut merge at exact_after_substr; a doc that IS a
+    shared run is dropped empty. Hand-derived counts."""
+    r1 = "r1a r1b r1c r1d"
+    r2 = "r2a r2b r2c r2d"
+    rows = [
+        (0, f"ppp qqq {r1}"),            # cleaned -> "ppp qqq"
+        (1, f"sss ttt {r2}"),            # cleaned -> "sss ttt"
+        (2, f"{r1} tail tok trio"),      # cleaned -> "tail tok trio"
+        (3, f"{r2} tail tok trio"),      # cleaned -> "tail tok trio" (= doc 2)
+        (4, r1),                          # fully covered -> dropped
+        (5, "totally unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = tiered_dedupe(
+        df,
+        line_min_dup_docs=None,
+        substring_window_tokens=4,
+        run_minhash=False,
+    )
+    by_tier = {m["tier"]: m for m in res["metrics"]}
+    assert [m["tier"] for m in res["metrics"]] == [
+        "exact", "substr_spans", "exact_after_substr",
+    ]
+    assert by_tier["exact"] == {"tier": "exact", "docs_in": 6, "docs_out": 6}
+    assert by_tier["substr_spans"]["docs_out"] == 5   # doc 4 emptied
+    assert by_tier["exact_after_substr"]["docs_out"] == 4  # doc 3 merged into 2
+
+    assert res["cleaned_col"] == "substr_text"
+    cleaned = dict(res["survivors"].select("doc_id", "substr_text").collect())
+    assert cleaned == {
+        0: "ppp qqq",
+        1: "sss ttt",
+        2: "tail tok trio",
+        5: "totally unrelated words here",
+    }
+
+
+def test_tiered_line_then_substr_composition(spark):
+    """Both rewrite tiers together: the banner line goes at the line tier,
+    then the cross-line shared run goes at the substr tier."""
+    banner = "cookie banner text"
+    run = "w1 w2 w3 w4"
+    rows = [(i, f"doc body {i}\n{banner}") for i in range(5)]
+    rows.append((10, f"lead in {run}\n{banner}"))
+    rows.append((11, f"{run} trailing words"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = tiered_dedupe(
+        df,
+        line_min_dup_docs=5,
+        substring_window_tokens=4,
+        run_minhash=False,
+    )
+    assert [m["tier"] for m in res["metrics"]] == [
+        "exact", "line_boilerplate", "exact_after_line",
+        "substr_spans", "exact_after_substr",
+    ]
+    cleaned = dict(res["survivors"].select("doc_id", "substr_text").collect())
+    # line tier cut the banner (5+ docs), substr tier cut the shared run
+    # (3-token banner is below k=4, so it could only fall to the line tier)
+    assert cleaned[10] == "lead in"
+    assert cleaned[11] == "trailing words"
+    assert cleaned[0] == "doc body 0"

@@ -142,6 +142,59 @@ def run_exactsubstr(
     }
 
 
+def run_stream_neardup(
+    spark, n_batches: int = 24, batch_docs: int = 2000, horizon_s: int = 600
+) -> dict:
+    """Per-micro-batch cost flatness for streaming near-dup suppression.
+
+    Feeds n_batches equal-size batches with event time advancing half a
+    horizon per batch, so cumulative persisted state grows ~n_batches× while
+    the ts_bucket read window stays constant-size. O(batch) behavior =
+    per-batch wall time stays FLAT as state accumulates (the round-3 state
+    read was O(live-state): every batch re-scanned all batch_id=* trees)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from daft_minhash_dedupe_spark.config import DedupeConfig
+    from daft_minhash_dedupe_spark.pipeline import prepare_web_pages
+    from daft_minhash_dedupe_spark.sources.synthetic_spark import bench_corpus
+    from daft_minhash_dedupe_spark.streaming.near_dedupe import StreamingNearDedupe
+
+    root = tempfile.mkdtemp(prefix="snd_bench_")
+    snd = StreamingNearDedupe(
+        DedupeConfig(), f"{root}/state", f"{root}/out", horizon=f"{horizon_s} seconds"
+    )
+    t_base = 1_700_000_000
+    times = []
+    for b in range(n_batches):
+        batch = (
+            prepare_web_pages(bench_corpus(spark, batch_docs, seed=1000 + b))
+            .withColumn(
+                "warc_ts",
+                F.timestamp_seconds(F.lit(t_base + b * horizon_s // 2)),
+            )
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.time()
+        snd(batch, b)
+        times.append(round(time.time() - t0, 2))
+    shutil.rmtree(root, ignore_errors=True)
+    head = sum(times[1:4]) / 3  # skip batch 0 (worker warmup)
+    tail = sum(times[-3:]) / 3
+    return {
+        "metric": "stream_neardup_batch_seconds",
+        "n_batches": n_batches,
+        "batch_docs": batch_docs,
+        "horizon_s": horizon_s,
+        "per_batch_sec": times,
+        "head_mean_sec": round(head, 2),
+        "tail_mean_sec": round(tail, 2),
+        "tail_over_head": round(tail / head, 3),
+    }
+
+
 def run_documents_dedupe(spark, sf_dir: str) -> tuple[float, int]:
     import __spark_entry__ as e
 
@@ -297,6 +350,12 @@ def main() -> None:
         action="store_true",
         help="exact-substring span-removal throughput on the flagship corpus",
     )
+    ap.add_argument(
+        "--stream-neardup",
+        action="store_true",
+        help="streaming near-dup suppression: per-micro-batch cost flatness "
+        "as persisted state accumulates (O(batch) evidence)",
+    )
     ap.add_argument("--docs", type=int, default=int(os.environ.get("BENCH_DOCS", "20000")))
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument(
@@ -385,6 +444,12 @@ def main() -> None:
     if args.skew:
         spark = _fresh_spark(CPUS)
         print(json.dumps(run_skew(spark, args.docs, repeats=max(args.repeats, 2))))
+        spark.stop()
+        return
+
+    if args.stream_neardup:
+        spark = _fresh_spark(CPUS)
+        print(json.dumps(run_stream_neardup(spark)))
         spark.stop()
         return
 

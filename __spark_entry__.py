@@ -16,6 +16,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -623,20 +624,125 @@ def _q_audio_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_png_ahash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_ahash_stats with the SAME pixels shipped as REAL PNGs
+    (zlib-compressed, Paeth-filtered — extras/png_codec.py) instead of raw
+    PPM bytes: the extractor must inflate + reverse the filter correctly or
+    the exact-copy / brightness-shift groups fracture (n_violations > 0).
+    This puts compressed-format decode under driver adjudication."""
+    from daft_minhash_dedupe_spark.extras.multimodal import extract_image_ahash
+
+    @F.pandas_udf("binary")
+    def png_of(src: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from daft_minhash_dedupe_spark.extras.png_codec import encode_png
+
+        return src.map(
+            lambda s: encode_png(
+                np.frombuffer(s.encode("utf-8"), dtype=np.uint8).reshape(16, 16, 3),
+                filter_type=4,
+            )
+        )
+
+    docs = _docs(spark, sf_dir)
+    src = F.rpad(F.regexp_replace("text", "[^ -t]", ""), 768, " ")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"), src.alias("src"),
+        png_of(src).alias("payload"),
+    )
+    copies = base.where(F.col("media_id") < 50).select(
+        (F.col("media_id") + 1_000_000).alias("media_id"), "src", "payload"
+    )
+    shifted = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + 2_000_000).alias("media_id"),
+        src.alias("src"),
+        png_of(F.translate(src, _SHIFT_FROM, _SHIFT_TO)).alias("payload"),
+    )
+    union = base.unionByName(copies).unionByName(shifted)
+    hashed = extract_image_ahash(union, src_col="src")
+    g = hashed.groupBy("src").agg(
+        F.countDistinct("ahash").alias("k"), F.count("*").alias("n")
+    )
+    return g.agg(
+        F.count("*").alias("n_src_groups"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias("n_violations"),
+    )
+
+
+def _q_jpeg_ahash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The png_ahash invariants again, but the payload is a REAL baseline
+    JPEG (extras/jpeg_codec.py): the extractor must Huffman-decode the
+    entropy stream, dequantize, and IDCT correctly or the exact-copy /
+    brightness-shift groups fracture. Pixels are drawn from {32, 224}
+    (8x8 gray from the first 64 text bytes' parity) so the +/-2
+    coefficient-rounding error of the near-lossless table can never cross
+    the aHash mean threshold — the invariant is exact despite the lossy
+    container. Brightness arm: +16 on every pixel pre-encode."""
+    from daft_minhash_dedupe_spark.extras.multimodal import extract_image_ahash
+
+    @F.pandas_udf("binary")
+    def jpeg_of(src: pd.Series, shift: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from daft_minhash_dedupe_spark.extras.jpeg_codec import encode_jpeg
+
+        def enc(s: str, sh: int) -> bytes:
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            px = np.where(b & 1, 224, 32).astype(np.uint8).reshape(8, 8)
+            return encode_jpeg(px + np.uint8(sh))
+
+        return pd.Series([enc(s, sh) for s, sh in zip(src, shift)])
+
+    docs = _docs(spark, sf_dir)
+    src = F.rpad(F.regexp_replace("text", "[^ -t]", ""), 64, " ")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"), src.alias("src"),
+        jpeg_of(src, F.lit(0)).alias("payload"),
+    )
+    copies = base.where(F.col("media_id") < 50).select(
+        (F.col("media_id") + 1_000_000).alias("media_id"), "src", "payload"
+    )
+    shifted = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + 2_000_000).alias("media_id"),
+        src.alias("src"),
+        jpeg_of(src, F.lit(16)).alias("payload"),
+    )
+    union = base.unionByName(copies).unionByName(shifted)
+    hashed = extract_image_ahash(union, src_col="src")
+    g = hashed.groupBy("src").agg(
+        F.countDistinct("ahash").alias("k"), F.count("*").alias("n")
+    )
+    return g.agg(
+        F.count("*").alias("n_src_groups"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias("n_violations"),
+    )
+
+
 def _q_media_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-kernel invariants for BOTH media modalities in one
+    """Perceptual-kernel invariants for the media modalities in one
     adjudicated row — the rounds-2/3 queries image_ahash_stats and
     audio_fp_stats (each green) packed under a `kind` tag so every oracle
-    row stays inside the driver's 50-entry adjudication window. Same
-    planted structure per arm: source + exact copy + brightness/DC-offset
-    copy must hash identically (n_violations must be 0)."""
+    row stays inside the driver's 50-entry adjudication window, plus the
+    round-4 `png_ahash` / `jpeg_ahash` arms (same planted structure but the
+    payload is a real compressed PNG / baseline JPEG). Per arm: source +
+    exact copy + brightness/DC-offset copy must hash identically
+    (n_violations must be 0)."""
     img = _q_image_ahash_stats(spark, sf_dir).select(
         F.lit("image_ahash").alias("kind"), "*"
     )
     aud = _q_audio_fp_stats(spark, sf_dir).select(
         F.lit("audio_fp").alias("kind"), "*"
     )
-    return img.unionByName(aud)
+    png = _q_png_ahash_stats(spark, sf_dir).select(
+        F.lit("png_ahash").alias("kind"), "*"
+    )
+    jpg = _q_jpeg_ahash_stats(spark, sf_dir).select(
+        F.lit("jpeg_ahash").alias("kind"), "*"
+    )
+    return img.unionByName(aud).unionByName(png).unionByName(jpg)
 
 
 def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1733,10 +1839,12 @@ def oracle_sql() -> dict[str, str]:
         "media_fp_stats": """
             WITH src AS (
               SELECT k.kind, s.doc_id,
-                     rpad(s.src0, CASE WHEN k.kind = 'image_ahash' THEN 768 ELSE 256 END, ' ') AS src
+                     rpad(s.src0, CASE WHEN k.kind = 'audio_fp' THEN 256
+                                       WHEN k.kind = 'jpeg_ahash' THEN 64
+                                       ELSE 768 END, ' ') AS src
               FROM (SELECT doc_id, regexp_replace(text, '[^ -t]', '', 'g') AS src0
                     FROM documents) s
-              CROSS JOIN (SELECT unnest(['image_ahash', 'audio_fp']) AS kind) k),
+              CROSS JOIN (SELECT unnest(['image_ahash', 'audio_fp', 'png_ahash', 'jpeg_ahash']) AS kind) k),
             all_rows AS (
               SELECT kind, src FROM src
               UNION ALL SELECT kind, src FROM src WHERE doc_id < 50

@@ -5,14 +5,17 @@ The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
 signatures, partitioning) is real and tested. Decoding has two tiers:
 
 - REAL decoders for formats the standard library + numpy can parse:
-  WAV/PCM audio (``decode_wav`` via stdlib ``wave``) and binary PPM/PGM
-  images (``decode_ppm``) — exercised end-to-end by ``extract_wav_features``
-  / ``extract_ppm_features`` and oracle-checked driver queries.
-- Compressed formats (JPEG/PNG/video) require Pillow/ffmpeg, which this
-  sandbox doesn't have: ``decode_image_real`` raises NotImplementedError and
-  ``decode_image_stub`` (deterministic byte-histogram fake) stands in so the
-  distributed dataflow stays fully testable. Swapping the stub for a real
-  decoder changes ONE function, not the dataflow.
+  WAV/PCM audio (``decode_wav`` via stdlib ``wave``), binary PPM/PGM
+  images (``decode_ppm``), PNG — including the compressed pixel
+  stream: zlib inflate + full scanline filter reconstruction + palette
+  lookup (``extras/png_codec.py``) — and baseline JPEG — markers, DHT
+  Huffman entropy decode, dequantize, IDCT, chroma upsample, YCbCr->RGB
+  (``extras/jpeg_codec.py``) — exercised end-to-end by the feature /
+  fingerprint extractors and oracle-checked driver queries.
+- Progressive JPEG and video stay gated (``NotImplementedError``):
+  progressive needs multi-scan coefficient accumulation and video needs
+  ffmpeg; ``decode_image_stub`` (deterministic byte-histogram fake) stands
+  in where needed so the distributed dataflow stays fully testable.
 """
 
 from __future__ import annotations
@@ -141,14 +144,25 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Real image decode dispatch: PPM/PGM decode here (stdlib+numpy);
-    compressed formats require an image library not present in this
-    environment. The mapInPandas plumbing below is agnostic to which decoder
-    is plugged in."""
+    """Real image decode dispatch: PPM/PGM (header parse + reshape, here),
+    PNG (stdlib zlib inflate + scanline filter reconstruction + palette,
+    extras/png_codec.py), and baseline JPEG (DHT Huffman + IDCT + chroma
+    upsample, extras/jpeg_codec.py) — all decoded for real with no external
+    library. Only progressive JPEG / exotic variants still raise (inside
+    decode_jpeg). The mapInPandas plumbing below is agnostic to which
+    decoder is plugged in."""
     if payload.startswith((b"P6", b"P5")):
         return decode_ppm(payload)
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        from daft_minhash_dedupe_spark.extras.png_codec import decode_png
+
+        return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from daft_minhash_dedupe_spark.extras.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG/PNG decoding requires Pillow/opencv; not available in this sandbox"
+        "unrecognized image container (GIF/TIFF/WebP need an image library)"
     )
 
 
@@ -355,7 +369,7 @@ def extract_image_ahash(
         for pdf in batches:
             yield _fingerprint_rows(
                 pdf, payload_col, src_col, "ahash",
-                lambda p: ahash64(decode_ppm(p)), on_error,
+                lambda p: ahash64(decode_image_real(p)), on_error,
             )
 
     return df.mapInPandas(_extract, schema=AHASH_SCHEMA)

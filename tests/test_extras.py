@@ -740,9 +740,10 @@ def test_decode_ppm_variants():
     gray = np.arange(6, dtype=np.uint8)
     p5 = b"P5\n3 2\n255\n" + gray.tobytes()
     assert decode_ppm(p5).shape == (2, 3, 1)
-    # dispatch: PPM decodes for real; compressed formats still gated
+    # dispatch: PPM decodes for real; a truncated JPEG fails loudly (real
+    # parser, not a gate) and unknown containers stay NotImplementedError
     assert decode_image_real(p6).shape == (2, 3, 3)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError, match="missing SOF"):
         decode_image_real(b"\xff\xd8\xff\xe0fakejpeg")
 
 
@@ -1419,3 +1420,310 @@ def test_remove_duplicate_spans_min_dup_docs_threshold(spark):
         _docs(spark, t), window_tokens=3, min_dup_docs=3
     ).collect()
     assert all(r["removed_tokens"] == 0 for r in rows)
+
+
+# -- PNG codec (stdlib zlib + filter reconstruction) ---------------------------
+
+
+def test_decode_png_hand_built_fixture():
+    """A PNG assembled by hand in the test (struct+zlib, independent of
+    encode_png): 3x2 gray, row 0 Sub-filtered, row 1 Up-filtered, with
+    hand-derived filtered bytes. Pins the decoder against the spec math."""
+    import struct
+    import zlib
+
+    from daft_minhash_dedupe_spark.extras.png_codec import decode_png
+
+    # target pixels: row0 = [10, 30, 60], row1 = [15, 35, 70]
+    # Sub (row0):  f[x] = p[x] - left  -> [10, 20, 30]
+    # Up  (row1):  f[x] = p[x] - up    -> [5, 5, 10]
+    raw = bytes([1, 10, 20, 30]) + bytes([2, 5, 5, 10])
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    arr = decode_png(png)
+    assert arr.shape == (2, 3, 1)
+    assert arr[:, :, 0].tolist() == [[10, 30, 60], [15, 35, 70]]
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    """encode -> decode is exact for every filter type and channel count
+    (filters are distinct code paths on both sides, so a filter-math error
+    on either side breaks equality)."""
+    from daft_minhash_dedupe_spark.extras.png_codec import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        arr = rng.randint(0, 256, size=(5, 4, ch), dtype=np.uint8)
+        for ft in range(5):
+            out = decode_png(encode_png(arr, filter_type=ft))
+            assert out.shape == (5, 4, ch), (ch, ft)
+            assert np.array_equal(out, arr), f"channels={ch} filter={ft}"
+
+
+def test_png_paeth_against_reference_predictor():
+    """The vectorized Paeth predictor equals the spec's scalar pseudo-code
+    on the full byte cube sample."""
+    from daft_minhash_dedupe_spark.extras.png_codec import _paeth
+
+    def paeth_scalar(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    rng = np.random.RandomState(3)
+    a, b, c = (rng.randint(0, 256, 500).astype(np.uint8) for _ in range(3))
+    got = _paeth(a, b, c)
+    want = [paeth_scalar(int(x), int(y), int(z)) for x, y, z in zip(a, b, c)]
+    assert got.tolist() == want
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import pytest as _pytest
+
+    from daft_minhash_dedupe_spark.extras.png_codec import decode_png, encode_png
+
+    arr = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    png = bytearray(encode_png(arr))
+    png[40] ^= 0xFF  # flip a byte inside a chunk body -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(png))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK" * 4)
+
+
+def test_image_ahash_format_independent_png_vs_ppm(spark):
+    """The perceptual layer must not care about the container: the SAME
+    pixels shipped as PPM bytes and as PNG bytes (compressed, filtered)
+    produce the SAME aHash through the distributed extractor — real PNG
+    decode inside mapInPandas, not a stub."""
+    from daft_minhash_dedupe_spark.extras.multimodal import extract_image_ahash
+    from daft_minhash_dedupe_spark.extras.png_codec import encode_png
+
+    rng = np.random.RandomState(11)
+    imgs = [rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8) for _ in range(6)]
+    rows = []
+    for i, a in enumerate(imgs):
+        ppm = b"P6\n16 16\n255\n" + a.tobytes()
+        rows.append((i, "ppm", ppm))
+        rows.append((100 + i, "png", encode_png(a, filter_type=(i % 5))))
+    df = spark.createDataFrame(rows, "media_id long, src string, payload binary")
+    got = {
+        r["media_id"]: r["ahash"]
+        for r in extract_image_ahash(df, src_col="src").collect()
+    }
+    assert len(got) == 12
+    for i in range(6):
+        assert got[i] == got[100 + i], f"image {i}: PPM vs PNG ahash differ"
+
+
+def test_png_palette_roundtrip_and_rejection():
+    """Color-type-3 (PLTE) path: index plane filters reconstruct exactly
+    and the palette lookup expands to the right RGB; malformed palettes
+    fail loudly instead of decoding garbage."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from daft_minhash_dedupe_spark.extras.png_codec import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (7, 5), dtype=np.uint8)
+    for ft in range(5):
+        out = decode_png(encode_png_palette(idx, pal, filter_type=ft))
+        assert out.shape == (7, 5, 3)
+        assert np.array_equal(out, pal[idx]), f"filter {ft}"
+
+    # strip the PLTE chunk -> must raise, not decode indices as gray
+    png = encode_png_palette(idx, pal)
+    pos = 8
+    stripped = png[:8]
+    while pos + 8 <= len(png):
+        (length,) = struct.unpack(">I", png[pos : pos + 4])
+        tag = png[pos + 4 : pos + 8]
+        if tag != b"PLTE":
+            stripped += png[pos : pos + 12 + length]
+        pos += 12 + length
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(stripped)
+
+    # out-of-range index vs a short palette -> loud failure
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", bytes(pal[:2].tobytes()))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0, 9])))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+
+
+# -- JPEG codec (markers + Huffman + DCT, no Pillow) ---------------------------
+
+
+def _jpeg_seg(marker, body):
+    import struct
+
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def test_decode_jpeg_hand_built_fixture():
+    """A JPEG assembled by hand (independent of encode_jpeg): 8x8 flat gray,
+    all-ones quant, single-symbol Huffman tables, entropy segment derived by
+    hand. v=130: DC=8*(130-128)=16, cat 5, bits '0'+'10000'+EOB'0' padded
+    -> 0x41. v=120: DC=-64, cat 7, '01'+'0111111'+'0' padded -> 0x5F 0xBF
+    (pins negative EXTEND). IDCT of DC-only must give the flat value back."""
+    import numpy as np
+
+    from daft_minhash_dedupe_spark.extras.jpeg_codec import decode_jpeg
+
+    def build(dc_syms, entropy):
+        dqt = _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64))
+        sof = _jpeg_seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+        dc_bits = [0] * 16
+        # all symbols at the minimal fixed length used by the encoder
+        ln = 1 if len(dc_syms) == 1 else 2
+        dc_bits[ln - 1] = len(dc_syms)
+        dht_dc = _jpeg_seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_syms))
+        ac_bits = [1] + [0] * 15
+        dht_ac = _jpeg_seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x00]))
+        sos = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        return (
+            b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
+        )
+
+    arr = decode_jpeg(build([5], bytes([0x41])))
+    assert arr.shape == (8, 8, 1)
+    assert (arr == 130).all(), arr[:, :, 0]
+
+    arr = decode_jpeg(build([5, 7], bytes([0x5F, 0xBF])))
+    assert (arr == 120).all(), arr[:, :, 0]
+
+
+def test_jpeg_roundtrip_tight_tolerance():
+    """All-ones quant = near-lossless: the only error is coefficient
+    rounding, so encode->decode must be within a few gray levels for every
+    shape family (multiple-of-8, ragged, gray, RGB)."""
+    import numpy as np
+
+    from daft_minhash_dedupe_spark.extras.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(2)
+    for shape in [(8, 8), (16, 16), (10, 13), (24, 33)]:
+        g = rng.randint(0, 256, shape, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(g))
+        assert out.shape == (*shape, 1)
+        assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 2, shape
+        c = rng.randint(0, 256, (*shape, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(c))
+        assert out.shape == (*shape, 3)
+        assert np.abs(out.astype(int) - c.astype(int)).max() <= 2, shape
+
+
+def test_jpeg_subsampling_and_restarts():
+    """4:2:0 reproduces a smooth gradient exactly (chroma constant per 2x2);
+    restart markers (DRI/RSTn + DC predictor reset) decode identically to
+    the unrestarted stream."""
+    import numpy as np
+
+    from daft_minhash_dedupe_spark.extras.jpeg_codec import decode_jpeg, encode_jpeg
+
+    grad = np.tile(
+        np.linspace(40, 200, 16).astype(np.uint8)[None, :, None], (16, 1, 3)
+    )
+    out = decode_jpeg(encode_jpeg(grad, subsample=True))
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 2
+
+    rng = np.random.RandomState(3)
+    c = rng.randint(0, 256, (24, 33, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(c))
+    for ri in (1, 3):
+        assert np.array_equal(decode_jpeg(encode_jpeg(c, restart_interval=ri)), plain)
+
+
+def test_jpeg_coarse_quant_still_faithful_on_smooth_content():
+    """A realistic coarse quant table (16 everywhere) keeps smooth content
+    recognizable — error bounded by the quant step, not garbage. Pins that
+    dequantization actually multiplies the table back in."""
+    import numpy as np
+
+    from daft_minhash_dedupe_spark.extras.jpeg_codec import decode_jpeg, encode_jpeg
+
+    grad = np.add.outer(
+        np.linspace(30, 220, 16), np.linspace(0, 30, 16)
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quant=np.full(64, 16)))
+    assert np.abs(out[:, :, 0].astype(int) - grad.astype(int)).max() <= 24
+
+
+def test_jpeg_rejects_unsupported_and_truncated():
+    import numpy as np
+    import pytest as _pytest
+
+    from daft_minhash_dedupe_spark.extras.jpeg_codec import decode_jpeg, encode_jpeg
+
+    g = np.zeros((8, 8), dtype=np.uint8)
+    png = encode_jpeg(g)
+    # rewrite SOF0 -> SOF2 (progressive)
+    prog = png.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0fakejpeg")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(png[:-20])  # cut lands inside the AC Huffman table
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"nope")
+
+
+def test_image_ahash_format_independent_jpeg_vs_ppm(spark):
+    """Same pixels as PPM bytes and as near-lossless JPEG bytes give the
+    SAME aHash through the distributed extractor. Pixels are drawn from
+    {32, 224} so the +/-2 coefficient-rounding error can never cross the
+    aHash mean threshold — equality is exact, no tolerance."""
+    from daft_minhash_dedupe_spark.extras.jpeg_codec import encode_jpeg
+    from daft_minhash_dedupe_spark.extras.multimodal import extract_image_ahash
+
+    rng = np.random.RandomState(13)
+    imgs = [
+        np.where(rng.rand(16, 16, 3) < 0.5, 32, 224).astype(np.uint8)
+        for _ in range(6)
+    ]
+    rows = []
+    for i, a in enumerate(imgs):
+        rows.append((i, "ppm", b"P6\n16 16\n255\n" + a.tobytes()))
+        rows.append((100 + i, "jpeg", encode_jpeg(a, restart_interval=(i % 3))))
+    df = spark.createDataFrame(rows, "media_id long, src string, payload binary")
+    got = {
+        r["media_id"]: r["ahash"]
+        for r in extract_image_ahash(df, src_col="src").collect()
+    }
+    assert len(got) == 12
+    for i in range(6):
+        assert got[i] == got[100 + i], f"image {i}: PPM vs JPEG ahash differ"

@@ -721,6 +721,55 @@ def _q_jpeg_ahash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gif_ahash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed-container invariants once more with GIF payloads
+    (extras/gif_codec.py): the extractor must LZW-decode the variable-width
+    code stream and expand the palette correctly or the exact-copy /
+    brightness-shift groups fracture. Gray identity palette makes the
+    container lossless, so the +10 byte shift of the image arm carries over
+    exactly (16x16 gray from 256 text bytes)."""
+    from daft_minhash_dedupe_spark.extras.multimodal import extract_image_ahash
+
+    @F.pandas_udf("binary")
+    def gif_of(src: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from daft_minhash_dedupe_spark.extras.gif_codec import encode_gif
+
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        return src.map(
+            lambda s: encode_gif(
+                [np.frombuffer(s.encode("utf-8"), dtype=np.uint8).reshape(16, 16)],
+                pal,
+            )
+        )
+
+    docs = _docs(spark, sf_dir)
+    src = F.rpad(F.regexp_replace("text", "[^ -t]", ""), 256, " ")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"), src.alias("src"),
+        gif_of(src).alias("payload"),
+    )
+    copies = base.where(F.col("media_id") < 50).select(
+        (F.col("media_id") + 1_000_000).alias("media_id"), "src", "payload"
+    )
+    shifted = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + 2_000_000).alias("media_id"),
+        src.alias("src"),
+        gif_of(F.translate(src, _SHIFT_FROM, _SHIFT_TO)).alias("payload"),
+    )
+    union = base.unionByName(copies).unionByName(shifted)
+    hashed = extract_image_ahash(union, src_col="src")
+    g = hashed.groupBy("src").agg(
+        F.countDistinct("ahash").alias("k"), F.count("*").alias("n")
+    )
+    return g.agg(
+        F.count("*").alias("n_src_groups"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias("n_violations"),
+    )
+
+
 def _q_media_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-kernel invariants for the media modalities in one
     adjudicated row — the rounds-2/3 queries image_ahash_stats and
@@ -742,7 +791,10 @@ def _q_media_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpg = _q_jpeg_ahash_stats(spark, sf_dir).select(
         F.lit("jpeg_ahash").alias("kind"), "*"
     )
-    return img.unionByName(aud).unionByName(png).unionByName(jpg)
+    gif = _q_gif_ahash_stats(spark, sf_dir).select(
+        F.lit("gif_ahash").alias("kind"), "*"
+    )
+    return img.unionByName(aud).unionByName(png).unionByName(jpg).unionByName(gif)
 
 
 def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1839,12 +1891,12 @@ def oracle_sql() -> dict[str, str]:
         "media_fp_stats": """
             WITH src AS (
               SELECT k.kind, s.doc_id,
-                     rpad(s.src0, CASE WHEN k.kind = 'audio_fp' THEN 256
+                     rpad(s.src0, CASE WHEN k.kind IN ('audio_fp', 'gif_ahash') THEN 256
                                        WHEN k.kind = 'jpeg_ahash' THEN 64
                                        ELSE 768 END, ' ') AS src
               FROM (SELECT doc_id, regexp_replace(text, '[^ -t]', '', 'g') AS src0
                     FROM documents) s
-              CROSS JOIN (SELECT unnest(['image_ahash', 'audio_fp', 'png_ahash', 'jpeg_ahash']) AS kind) k),
+              CROSS JOIN (SELECT unnest(['image_ahash', 'audio_fp', 'png_ahash', 'jpeg_ahash', 'gif_ahash']) AS kind) k),
             all_rows AS (
               SELECT kind, src FROM src
               UNION ALL SELECT kind, src FROM src WHERE doc_id < 50

@@ -161,8 +161,12 @@ def decode_image_real(payload: bytes) -> np.ndarray:
         from daft_minhash_dedupe_spark.extras.jpeg_codec import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        from daft_minhash_dedupe_spark.extras.gif_codec import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "unrecognized image container (GIF/TIFF/WebP need an image library)"
+        "unrecognized image container (TIFF/WebP need an image library)"
     )
 
 
@@ -462,3 +466,64 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts"),
     )
+
+
+ANIMATION_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, t_ms long, width int, height int, ahash long"
+)
+
+
+def extract_animation_frames(
+    df: DataFrame, payload_col: str = "payload", on_error: str = "fail"
+) -> DataFrame:
+    """REAL frame extraction from animated media (GIF89a via
+    extras/gif_codec.py): one output row per presented frame with its
+    cumulative timestamp and perceptual aHash — the decode stage the
+    ``frame_sample_plan`` explode feeds, done for real rather than stubbed.
+
+    Scale shape: mapInPandas is narrow (no shuffle); a media row fans out
+    to its frames inside the Arrow batch, so downstream frame-level
+    near-dup (banding over ``ahash``) reuses the generic 64-bit machinery.
+    ``on_error`` carries the usual fail/skip/null corpus-corruption modes
+    (null emits one frame_idx=-1 row so corruption stays countable)."""
+    from daft_minhash_dedupe_spark.extras.gif_codec import gif_frames
+
+    if on_error not in ("fail", "skip", "null"):
+        raise ValueError(f"on_error={on_error!r}")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    frames = gif_frames(p)
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    recs.append(
+                        {"media_id": mid, "frame_idx": -1, "t_ms": None,
+                         "width": None, "height": None, "ahash": None}
+                    )
+                    continue
+                t = 0
+                for i, (canvas, delay_ms) in enumerate(frames):
+                    recs.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "t_ms": t,
+                            "width": canvas.shape[1],
+                            "height": canvas.shape[0],
+                            "ahash": ahash64(canvas),
+                        }
+                    )
+                    t += delay_ms
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "frame_idx", "t_ms", "width", "height", "ahash"],
+                dtype=object,
+            )
+
+    return df.mapInPandas(_extract, schema=ANIMATION_FRAME_SCHEMA)

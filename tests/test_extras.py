@@ -1727,3 +1727,155 @@ def test_image_ahash_format_independent_jpeg_vs_ppm(spark):
     assert len(got) == 12
     for i in range(6):
         assert got[i] == got[100 + i], f"image {i}: PPM vs JPEG ahash differ"
+
+
+# -- GIF codec (LZW + animation frames) ----------------------------------------
+
+
+def test_decode_gif_hand_built_fixture():
+    """A GIF assembled by hand (independent of encode_gif), with the LZW
+    entropy bytes derived by hand for indices [1,2,2,1] at min-code-size 2:
+    codes [CLEAR=4@3b, 1@3b, 2@3b, 2@3b, 1@4b, END=5@4b] packed LSB-first
+    -> 0x8C 0x14 0x05 (the width bumps to 4 bits after the third add
+    because the decoder's table lags the encoder's by one entry)."""
+    import struct
+
+    from daft_minhash_dedupe_spark.extras.gif_codec import decode_gif
+
+    pal = bytes([10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40])
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)  # 4-entry global table
+        + pal
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([2])  # LZW min code size
+        + bytes([3, 0x8C, 0x14, 0x05, 0])  # one sub-block + terminator
+        + b"\x3b"
+    )
+    arr = decode_gif(gif)
+    assert arr.shape == (2, 2, 3)
+    assert arr[:, :, 0].tolist() == [[20, 30], [30, 20]]
+
+
+def test_gif_roundtrip_palettes_interlace_and_dict_freeze():
+    """Lossless roundtrip across palette sizes, interlace (4-pass row
+    reorder), and a 128x128 high-entropy image that drives the LZW
+    dictionary to the 4096-entry frozen state across every code width."""
+    from daft_minhash_dedupe_spark.extras.gif_codec import decode_gif, encode_gif
+
+    rng = np.random.RandomState(21)
+    for k in (2, 4, 16, 256):
+        pal = rng.randint(0, 256, (k, 3), dtype=np.uint8)
+        idx = rng.randint(0, k, (10, 13), dtype=np.uint8)
+        assert np.array_equal(decode_gif(encode_gif([idx], pal)), pal[idx]), k
+        assert np.array_equal(
+            decode_gif(encode_gif([idx], pal, interlace=True)), pal[idx]
+        ), f"interlace k={k}"
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    big = rng.randint(0, 256, (128, 128), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif([big], pal)), pal[big])
+    rep = np.tile(np.arange(16, dtype=np.uint8), (64, 8))
+    assert np.array_equal(decode_gif(encode_gif([rep], pal)), pal[rep])
+
+
+def test_gif_animation_transparency_and_disposal():
+    """Multi-frame presentation semantics: delays, transparent pixels
+    showing the prior canvas, restore-to-background (disposal 2) and
+    restore-to-previous (disposal 3)."""
+    from daft_minhash_dedupe_spark.extras.gif_codec import encode_gif, gif_frames
+
+    rng = np.random.RandomState(22)
+    pal = rng.randint(0, 256, (4, 3), dtype=np.uint8)
+    f1 = rng.randint(0, 4, (8, 8), dtype=np.uint8)
+    f2 = rng.randint(0, 4, (8, 8), dtype=np.uint8)
+
+    frames = gif_frames(encode_gif([f1, f2], pal, delays_ms=[100, 250]))
+    assert [d for _, d in frames] == [100, 250]
+    assert np.array_equal(frames[0][0], pal[f1])
+    assert np.array_equal(frames[1][0], pal[f2])
+
+    fr = gif_frames(encode_gif([f1, f2], pal, transparent=0))
+    want = np.where((f2 == 0)[:, :, None], pal[f1], pal[f2])
+    assert np.array_equal(fr[1][0], want)
+
+    fr = gif_frames(encode_gif([f1, f2, f1], pal, disposal=2, bg_index=1))
+    assert np.array_equal(fr[1][0], pal[f2])  # bg restore between frames
+    fr = gif_frames(encode_gif([f1, f2, f1], pal, disposal=3))
+    assert np.array_equal(fr[2][0], pal[f1])
+
+
+def test_gif_rejects_corruption():
+    import pytest as _pytest
+
+    from daft_minhash_dedupe_spark.extras.gif_codec import decode_gif, encode_gif
+
+    rng = np.random.RandomState(23)
+    pal = rng.randint(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, (6, 6), dtype=np.uint8)
+    gif = encode_gif([idx], pal)
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"JUNKJUNK")
+    with _pytest.raises(ValueError):
+        decode_gif(gif[: len(gif) // 2])  # truncated mid-stream
+
+
+def test_animation_frame_extraction_distributed(spark):
+    """REAL multi-frame decode through mapInPandas: per-frame rows with
+    cumulative timestamps and aHashes; the first frame's aHash equals the
+    same pixels shipped as PPM (gray identity palette makes GIF lossless
+    grayscale), and on_error='null' keeps corrupt payloads countable."""
+    from daft_minhash_dedupe_spark.extras.gif_codec import encode_gif
+    from daft_minhash_dedupe_spark.extras.multimodal import (
+        extract_animation_frames,
+        extract_image_ahash,
+    )
+
+    rng = np.random.RandomState(24)
+    gray_pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    frames_by_id = {}
+    rows = []
+    for mid in range(4):
+        n_frames = 1 + mid
+        frs = [rng.randint(0, 256, (16, 16), dtype=np.uint8) for _ in range(n_frames)]
+        frames_by_id[mid] = frs
+        rows.append(
+            (mid, encode_gif(frs, gray_pal, delays_ms=[40 * (i + 1) for i in range(n_frames)]))
+        )
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = extract_animation_frames(df).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, frs in frames_by_id.items():
+        rows_m = sorted(by_id[mid], key=lambda r: r["frame_idx"])
+        assert len(rows_m) == len(frs)
+        # cumulative delays: frame i starts at sum of delays of frames < i
+        want_t = 0
+        for i, r in enumerate(rows_m):
+            assert r["t_ms"] == want_t, (mid, i)
+            want_t += 40 * (i + 1)
+            assert (r["width"], r["height"]) == (16, 16)
+
+    # first-frame ahash equals the PPM ahash of the same gray pixels
+    ppm_rows = [
+        (100 + mid, b"P6\n16 16\n255\n" + gray_pal[frs[0]].tobytes())
+        for mid, frs in frames_by_id.items()
+    ]
+    pdf = spark.createDataFrame(ppm_rows, "media_id long, payload binary")
+    ppm_hash = {
+        r["media_id"] - 100: r["ahash"] for r in extract_image_ahash(pdf).collect()
+    }
+    first_hash = {
+        mid: next(r["ahash"] for r in rs if r["frame_idx"] == 0)
+        for mid, rs in by_id.items()
+    }
+    assert first_hash == ppm_hash
+
+    # corruption modes
+    bad = spark.createDataFrame(
+        [(0, rows[0][1]), (1, b"GIF89agarbage")], "media_id long, payload binary"
+    )
+    nulls = extract_animation_frames(bad, on_error="null").collect()
+    assert {r["media_id"]: r["frame_idx"] for r in nulls if r["ahash"] is None} == {1: -1}
+    skipped = extract_animation_frames(bad, on_error="skip").collect()
+    assert {r["media_id"] for r in skipped} == {0}

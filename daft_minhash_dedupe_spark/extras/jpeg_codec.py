@@ -82,7 +82,9 @@ def _category(v: int) -> int:
 
 
 class _HuffTable:
-    """Canonical Huffman table from DHT's (BITS, HUFFVAL)."""
+    """Canonical Huffman table from DHT's (BITS, HUFFVAL). Decode peeks 16
+    bits once and probes only the code lengths the table actually uses —
+    one dict hit per symbol for fixed-length tables, ≤16 worst case."""
 
     def __init__(self, bits: list[int], vals: bytes):
         if len(vals) < sum(bits):
@@ -96,13 +98,15 @@ class _HuffTable:
                 code += 1
                 k += 1
             code <<= 1
+        self.lengths = sorted({ln for ln, _ in self.lookup})
 
     def decode(self, br: _BitReader) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            sym = self.lookup.get((length, code))
+        peeked = br.peek16()
+        lookup = self.lookup
+        for length in self.lengths:
+            sym = lookup.get((length, peeked >> (16 - length)))
             if sym is not None:
+                br.skip(length)
                 return sym
         raise ValueError("invalid Huffman code in JPEG entropy stream")
 
@@ -112,24 +116,34 @@ class _BitReader:
 
     def __init__(self, data: bytes):
         self.data = data
-        self.byte = 0
-        self.bit = 0
+        self.nbits = len(data) * 8
+        self.pos = 0
 
-    def read_bit(self) -> int:
-        if self.byte >= len(self.data):
+    def peek16(self) -> int:
+        """Next 16 bits MSB-first, 1-padded past the end (the spec's pad
+        bits), without consuming."""
+        p = self.pos
+        if p >= self.nbits:
             raise ValueError("JPEG entropy stream truncated")
-        b = (self.data[self.byte] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.byte += 1
-        return b
+        b0 = p >> 3
+        window = self.data[b0 : b0 + 3]
+        v = int.from_bytes(window + b"\xff" * (3 - len(window)), "big")
+        return (v >> (8 - (p & 7))) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.pos += n
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        p = self.pos
+        if p + n > self.nbits:
+            raise ValueError("JPEG entropy stream truncated")
+        b0 = p >> 3
+        b1 = (p + n + 7) >> 3
+        chunk = int.from_bytes(self.data[b0:b1], "big")
+        self.pos = p + n
+        return (chunk >> ((b1 - b0) * 8 - (p & 7) - n)) & ((1 << n) - 1)
 
 
 def _split_entropy(payload: bytes, pos: int) -> tuple[list[bytes], int]:
@@ -309,19 +323,20 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, value: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:  # byte stuffing
-                    self.out.append(0x00)
-                self.acc = 0
-                self.nbits = 0
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
-        while self.nbits:
-            self.write(1, 1)  # pad with 1-bits per spec
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
 
 
 def _fixed_table(symbols: list[int]) -> tuple[list[int], bytes, dict[int, tuple[int, int]]]:

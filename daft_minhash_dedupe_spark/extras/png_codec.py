@@ -156,24 +156,41 @@ def decode_png(payload: bytes) -> np.ndarray:
         ).copy()
         if ft == 0:
             pass
-        elif ft == 2:  # Up: whole-line vectorized
+        elif ft == 2:  # Up: whole-line vectorized (uint8 wrap = mod 256)
             line += prev
-        elif ft in (1, 3, 4):
-            # Sub/Average/Paeth need the reconstructed LEFT byte — recur
-            # pixel-by-pixel along the line (bpp-wide vector steps)
-            for x in range(0, stride, bpp):
-                seg = slice(x, x + bpp)
-                left = line[x - bpp : x] if x else np.zeros(bpp, np.uint8)
-                up = prev[seg]
-                up_left = prev[x - bpp : x] if x else np.zeros(bpp, np.uint8)
-                if ft == 1:
-                    line[seg] += left
-                elif ft == 3:
-                    line[seg] += (
-                        (left.astype(np.int32) + up.astype(np.int32)) // 2
-                    ).astype(np.uint8)
-                else:
-                    line[seg] += _paeth(left, up, up_left)
+        elif ft == 1:
+            # Sub is a per-lane prefix sum: out[x] = f[x] + out[x-bpp], and
+            # addition mod 256 commutes with cumsum — fully vectorized
+            lanes = line.reshape(-1, bpp)
+            line = (np.cumsum(lanes, axis=0, dtype=np.uint32) & 0xFF).astype(
+                np.uint8
+            ).reshape(-1)
+        elif ft in (3, 4):
+            # Average/Paeth recur nonlinearly on the reconstructed LEFT
+            # byte; a scalar byte loop beats numpy slicing overhead at any
+            # width (one small-int op chain per byte, no per-step arrays)
+            cur = bytearray(line.tobytes())
+            up_b = prev.tobytes()
+            if ft == 3:
+                for x in range(stride):
+                    left = cur[x - bpp] if x >= bpp else 0
+                    cur[x] = (cur[x] + ((left + up_b[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    b = up_b[x]
+                    c = up_b[x - bpp] if x >= bpp else 0
+                    pa = abs(b - c)
+                    pb = abs(a - c)
+                    pc = abs(a + b - 2 * c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    cur[x] = (cur[x] + pred) & 0xFF
+            line = np.frombuffer(bytes(cur), dtype=np.uint8)
         else:
             raise ValueError(f"PNG filter type {ft}")
         out[y] = line

@@ -1879,3 +1879,41 @@ def test_animation_frame_extraction_distributed(spark):
     assert {r["media_id"]: r["frame_idx"] for r in nulls if r["ahash"] is None} == {1: -1}
     skipped = extract_animation_frames(bad, on_error="skip").collect()
     assert {r["media_id"] for r in skipped} == {0}
+
+
+def test_image_near_dup_across_containers(spark):
+    """The cross-format duplicate story end-to-end: the SAME image shipped
+    as PPM, PNG (Paeth-filtered), GIF (LZW), and near-lossless JPEG must
+    pair up as near-duplicates regardless of container — the extractor
+    dispatches per payload magic inside one mapInPandas pass, so a corpus
+    with mixed containers needs no per-format branching upstream."""
+    from daft_minhash_dedupe_spark.extras.gif_codec import encode_gif
+    from daft_minhash_dedupe_spark.extras.jpeg_codec import encode_jpeg
+    from daft_minhash_dedupe_spark.extras.multimodal import image_near_dup_pairs
+    from daft_minhash_dedupe_spark.extras.png_codec import encode_png
+
+    rng = np.random.RandomState(31)
+    gray_pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    rows = []
+    for i in range(3):
+        # blocky two-level pixels: far from the mean, so JPEG's +/-2
+        # rounding cannot flip aHash bits (Hamming 0 across containers)
+        pat = np.where(rng.rand(8, 8) < 0.5, 30, 210).astype(np.uint8)
+        img = np.kron(pat, np.ones((2, 2), dtype=np.uint8))
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        rows.append((10 * i + 0, bytes(b"P6\n16 16\n255\n" + rgb.tobytes())))
+        rows.append((10 * i + 1, encode_png(rgb, filter_type=4)))
+        rows.append((10 * i + 2, encode_gif([img], gray_pal)))
+        rows.append((10 * i + 3, encode_jpeg(rgb)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        tuple(sorted((r["u"], r["v"])))
+        for r in image_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    for i in range(3):
+        ids = [10 * i + j for j in range(4)]
+        for a in range(4):
+            for b in range(a + 1, 4):
+                assert (ids[a], ids[b]) in pairs, (i, a, b)
+    # distinct sources don't merge across families
+    assert all(u // 10 == v // 10 for u, v in pairs)

@@ -770,6 +770,63 @@ def _q_gif_ahash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_avi_vfp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed-container invariants extended to VIDEO: each payload
+    is a REAL 3-frame MJPEG AVI (extras/avi_codec.py — RIFF container parse
+    + per-frame baseline JPEG through extras/jpeg_codec.py), fingerprinted
+    by the majority-vote video_fp64 over per-frame aHashes. The extractor
+    must walk the RIFF tree, split the movi chunks, and Huffman-decode all
+    three frames correctly or the exact-copy / brightness-shift groups
+    fracture. Pixels are drawn from {32, 224} (8x8 gray from the first 64
+    text bytes' parity; frames 2-3 are row/col rolls so every frame matters
+    to the vote) — JPEG's +/-2 rounding can never cross the aHash mean
+    threshold, and a +16 brightness shift on every frame preserves each
+    frame hash and therefore the vote."""
+    from daft_minhash_dedupe_spark.extras.multimodal import extract_video_fingerprint
+
+    @F.pandas_udf("binary")
+    def avi_of(src: pd.Series, shift: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from daft_minhash_dedupe_spark.extras.avi_codec import encode_avi
+
+        def enc(s: str, sh: int) -> bytes:
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            px = np.where(b & 1, 224, 32).astype(np.uint8).reshape(8, 8)
+            px = px + np.uint8(sh)
+            frames = [px, np.roll(px, 2, axis=0), np.roll(px, 2, axis=1)]
+            return encode_avi(frames, frame_ms=40, codec="mjpg")
+
+        return pd.Series([enc(s, sh) for s, sh in zip(src, shift)])
+
+    docs = _docs(spark, sf_dir)
+    src = F.rpad(F.regexp_replace("text", "[^ -t]", ""), 64, " ")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"), src.alias("src"),
+        avi_of(src, F.lit(0)).alias("payload"),
+    )
+    copies = base.where(F.col("media_id") < 50).select(
+        (F.col("media_id") + 1_000_000).alias("media_id"), "src", "payload"
+    )
+    shifted = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + 2_000_000).alias("media_id"),
+        src.alias("src"),
+        avi_of(src, F.lit(16)).alias("payload"),
+    )
+    union = base.unionByName(copies).unionByName(shifted)
+    hashed = extract_video_fingerprint(union).join(
+        union.select("media_id", "src"), "media_id"
+    )
+    g = hashed.groupBy("src").agg(
+        F.countDistinct("vfp").alias("k"), F.count("*").alias("n")
+    )
+    return g.agg(
+        F.count("*").alias("n_src_groups"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias("n_violations"),
+    )
+
+
 def _q_media_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-kernel invariants for the media modalities in one
     adjudicated row — the rounds-2/3 queries image_ahash_stats and
@@ -794,7 +851,16 @@ def _q_media_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gif = _q_gif_ahash_stats(spark, sf_dir).select(
         F.lit("gif_ahash").alias("kind"), "*"
     )
-    return img.unionByName(aud).unionByName(png).unionByName(jpg).unionByName(gif)
+    avi = _q_avi_vfp_stats(spark, sf_dir).select(
+        F.lit("avi_mjpeg").alias("kind"), "*"
+    )
+    return (
+        img.unionByName(aud)
+        .unionByName(png)
+        .unionByName(jpg)
+        .unionByName(gif)
+        .unionByName(avi)
+    )
 
 
 def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1892,11 +1958,11 @@ def oracle_sql() -> dict[str, str]:
             WITH src AS (
               SELECT k.kind, s.doc_id,
                      rpad(s.src0, CASE WHEN k.kind IN ('audio_fp', 'gif_ahash') THEN 256
-                                       WHEN k.kind = 'jpeg_ahash' THEN 64
+                                       WHEN k.kind IN ('jpeg_ahash', 'avi_mjpeg') THEN 64
                                        ELSE 768 END, ' ') AS src
               FROM (SELECT doc_id, regexp_replace(text, '[^ -t]', '', 'g') AS src0
                     FROM documents) s
-              CROSS JOIN (SELECT unnest(['image_ahash', 'audio_fp', 'png_ahash', 'jpeg_ahash', 'gif_ahash']) AS kind) k),
+              CROSS JOIN (SELECT unnest(['image_ahash', 'audio_fp', 'png_ahash', 'jpeg_ahash', 'gif_ahash', 'avi_mjpeg']) AS kind) k),
             all_rows AS (
               SELECT kind, src FROM src
               UNION ALL SELECT kind, src FROM src WHERE doc_id < 50

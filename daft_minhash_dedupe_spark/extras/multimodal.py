@@ -527,3 +527,179 @@ def extract_animation_frames(
             )
 
     return df.mapInPandas(_extract, schema=ANIMATION_FRAME_SCHEMA)
+
+
+def video_frames_one(payload: bytes) -> list:
+    """Container-dispatched REAL video frame decode: RIFF/AVI (DIB + MJPEG,
+    extras/avi_codec.py) and animated GIF (extras/gif_codec.py) both yield
+    ``[(frame, delay_ms), ...]``, so everything above this call is
+    container-agnostic — the same dispatch-on-magic shape as
+    decode_image_real."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from daft_minhash_dedupe_spark.extras.avi_codec import avi_frames
+
+        return avi_frames(payload)
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        from daft_minhash_dedupe_spark.extras.gif_codec import gif_frames
+
+        return gif_frames(payload)
+    raise NotImplementedError("unrecognized video container (mp4/webm need ffmpeg)")
+
+
+def _sample_frames(frames: list, every_ms: int | None) -> list:
+    """Presentation-time sampling: keep the frame on screen at each tick
+    0, every_ms, 2*every_ms, … — i.e. the frame whose [t, t+delay) interval
+    contains a tick (a 0-delay frame is never on screen past t, so it only
+    matches a tick landing exactly on t). every_ms=None keeps every frame.
+    Returns [(orig_idx, t_ms, frame), ...]."""
+    out = []
+    t = 0
+    for i, (frame, delay) in enumerate(frames):
+        if every_ms is None:
+            out.append((i, t, frame))
+        else:
+            first_tick = -(-t // every_ms) * every_ms  # ceil to tick grid
+            if first_tick == t or first_tick < t + delay:
+                out.append((i, t, frame))
+        t += delay
+    return out
+
+
+def extract_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_ms: int | None = None,
+    on_error: str = "fail",
+) -> DataFrame:
+    """REAL video frame extraction + sampling: decode every frame
+    (container-dispatched), keep the frames a ``frame_sample_plan``-style
+    every_ms tick grid would present, and emit each with its timestamp and
+    perceptual aHash — the decode stage the plan explode feeds, done for
+    real over AVI and GIF payloads.
+
+    Scale shape: mapInPandas is narrow (no shuffle); one media row fans out
+    to its sampled frames inside the Arrow batch, and downstream frame- or
+    video-level near-dup reuses the generic 64-bit banding machinery.
+    ``on_error`` carries the usual fail/skip/null corpus-corruption modes
+    (null emits one frame_idx=-1 row so corruption stays countable)."""
+    if on_error not in ("fail", "skip", "null"):
+        raise ValueError(f"on_error={on_error!r}")
+    if every_ms is not None and every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    sampled = _sample_frames(video_frames_one(p), every_ms)
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    recs.append(
+                        {"media_id": mid, "frame_idx": -1, "t_ms": None,
+                         "width": None, "height": None, "ahash": None}
+                    )
+                    continue
+                for i, t, frame in sampled:
+                    recs.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "t_ms": t,
+                            "width": frame.shape[1],
+                            "height": frame.shape[0],
+                            "ahash": ahash64(frame),
+                        }
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "frame_idx", "t_ms", "width", "height", "ahash"],
+                dtype=object,
+            )
+
+    return df.mapInPandas(_extract, schema=ANIMATION_FRAME_SCHEMA)
+
+
+VIDEO_FP_SCHEMA = "media_id long, vfp long, n_frames int"
+
+
+def video_fp64(frame_hashes: list[int]) -> int:
+    """Video-level 64-bit fingerprint: strict per-bit majority vote over the
+    sampled frames' aHashes. Any per-frame-invariant edit (exact copy,
+    uniform brightness shift) preserves every frame hash and therefore the
+    vote; a few changed/reordered frames flip only the bits near the
+    majority boundary, so near-dup videos land within a small Hamming
+    distance — the same 64-bit shape SimHash / aHash / audio-fp feed into
+    the generic banding machinery. All-integer, so an independent engine
+    recomputing from the same frame hashes is bit-identical."""
+    n = len(frame_hashes)
+    if not n:
+        raise ValueError("video_fp64 needs at least one frame hash")
+    counts = [0] * 64
+    for fh in frame_hashes:
+        u = fh & 0xFFFFFFFFFFFFFFFF
+        for k in range(64):
+            counts[k] += (u >> k) & 1
+    val = np.uint64(0)
+    for k in range(64):
+        if 2 * counts[k] > n:
+            val |= np.uint64(1) << np.uint64(k)
+    return int(val.astype(np.int64))
+
+
+def extract_video_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_ms: int | None = None,
+    on_error: str = "fail",
+) -> DataFrame:
+    """Per-video fingerprint in ONE narrow pass: decode → sample → per-frame
+    aHash → majority vote, all inside the same mapInPandas batch (no
+    intermediate frame table, no shuffle). Output: (media_id, vfp,
+    n_frames)."""
+    if on_error not in ("fail", "skip", "null"):
+        raise ValueError(f"on_error={on_error!r}")
+
+    def _fp_one(p: bytes) -> dict:
+        sampled = _sample_frames(video_frames_one(p), every_ms)
+        hashes = [ahash64(frame) for _, _, frame in sampled]
+        return {"vfp": video_fp64(hashes), "n_frames": len(hashes)}
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_rows(
+                pdf, payload_col, _fp_one, ("vfp", "n_frames"), on_error
+            )
+
+    return df.mapInPandas(_extract, schema=VIDEO_FP_SCHEMA)
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    node_col: str = "media_id",
+    every_ms: int | None = None,
+    max_hamming: int = 3,
+    max_bucket_pairwise: int = 64,
+) -> DataFrame:
+    """Video near-duplicate candidate pairs over the same generic 64-bit
+    machinery as SimHash / image aHash / audio fingerprints: majority-vote
+    video fingerprint → 16-bit banding bucket join → exact Hamming
+    verification — bucketed, never all-pairs, and 4-band pigeonhole keeps
+    recall 1.0 at max_hamming <= 3."""
+    from daft_minhash_dedupe_spark.extras.simhash import simhash_candidates
+
+    fp = extract_video_fingerprint(
+        df.select(F.col(node_col).alias("media_id"), payload_col),
+        every_ms=every_ms,
+    ).select(F.col("media_id").alias(node_col), F.col("vfp"))
+    return simhash_candidates(
+        fp,
+        fp_col="vfp",
+        node_col=node_col,
+        max_hamming=max_hamming,
+        max_bucket_pairwise=max_bucket_pairwise,
+    )

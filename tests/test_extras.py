@@ -1917,3 +1917,157 @@ def test_image_near_dup_across_containers(spark):
                 assert (ids[a], ids[b]) in pairs, (i, a, b)
     # distinct sources don't merge across families
     assert all(u // 10 == v // 10 for u, v in pairs)
+
+
+def _avi_test_frames(seed=7, n=3):
+    rng = np.random.RandomState(seed)
+    pat = np.where(rng.rand(8, 8) < 0.5, 30, 210).astype(np.uint8)
+    img = np.kron(pat, np.ones((2, 2), dtype=np.uint8))
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    return [np.roll(rgb, 4 * i, axis=i % 2) for i in range(n)]
+
+
+def test_avi_dib_roundtrip_exact():
+    """DIB mode is lossless: odd width exercises the 4-byte row stride,
+    bottom-up BGR row order must invert exactly."""
+    from daft_minhash_dedupe_spark.extras.avi_codec import avi_frames, encode_avi
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (11, 5, 3), dtype=np.uint8) for _ in range(4)]
+    out = avi_frames(encode_avi(frames, frame_ms=33, codec="dib"))
+    assert len(out) == 4
+    for (f, ms), orig in zip(out, frames):
+        assert ms == 33
+        assert np.array_equal(f, orig)
+
+
+def test_avi_mjpeg_roundtrip_near_lossless():
+    """MJPEG frames route through the in-tree JPEG codec: blocky two-level
+    pixels survive the near-lossless table within +/-2, so perceptual
+    hashes are bit-identical across the container round trip."""
+    from daft_minhash_dedupe_spark.extras.avi_codec import avi_frames, encode_avi
+    from daft_minhash_dedupe_spark.extras.multimodal import ahash64
+
+    frames = _avi_test_frames()
+    out = avi_frames(encode_avi(frames, frame_ms=40, codec="mjpg"))
+    assert len(out) == len(frames)
+    for (f, ms), orig in zip(out, frames):
+        assert ms == 40
+        assert int(np.abs(f.astype(int) - orig.astype(int)).max()) <= 2
+        assert ahash64(f) == ahash64(orig)
+
+
+def test_avi_rejects_malformed():
+    from daft_minhash_dedupe_spark.extras.avi_codec import avi_frames, encode_avi
+
+    good = encode_avi(_avi_test_frames(), codec="dib")
+    with pytest.raises(ValueError):
+        avi_frames(b"RIFF\x10\x00\x00\x00WAVEdata")  # RIFF but not AVI
+    with pytest.raises(ValueError):
+        avi_frames(good[:40])  # truncated headers
+    with pytest.raises(ValueError):
+        avi_frames(b"nope")
+    # unknown compression fourcc fails loudly, not silently
+    import struct
+    comp_off = good.find(struct.pack("<IiiHH", 40, 5, 11, 1, 24))
+    assert comp_off == -1  # frames are 16x16 here; find the real strf
+    comp_off = good.find(struct.pack("<IiiHH", 40, 16, 16, 1, 24)) + 16
+    bad = good[:comp_off] + b"XVID" + good[comp_off + 4 :]
+    with pytest.raises(NotImplementedError):
+        avi_frames(bad)
+
+
+def test_video_frame_sampling_semantics():
+    """every_ms keeps exactly the frames a tick grid would present: with
+    40ms frames and a 100ms grid, ticks 0/100/200/300 land in the
+    presentation intervals of frames 0, 2, 5, 7."""
+    from daft_minhash_dedupe_spark.extras.avi_codec import encode_avi
+    from daft_minhash_dedupe_spark.extras.multimodal import (
+        _sample_frames,
+        video_frames_one,
+    )
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, (4, 4, 3), dtype=np.uint8) for _ in range(8)]
+    decoded = video_frames_one(encode_avi(frames, frame_ms=40, codec="dib"))
+    assert [i for i, _, _ in _sample_frames(decoded, None)] == list(range(8))
+    sampled = _sample_frames(decoded, 100)
+    assert [(i, t) for i, t, _ in sampled] == [(0, 0), (2, 80), (5, 200), (7, 280)]
+    # GIF variable delays flow through the same dispatcher
+    from daft_minhash_dedupe_spark.extras.gif_codec import encode_gif
+
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    gray = [f[:, :, 0] for f in frames[:3]]
+    g = encode_gif(gray, pal, delays_ms=[500, 500, 500])
+    assert [i for i, _, _ in _sample_frames(video_frames_one(g), 1000)] == [0, 2]
+
+
+def test_video_fp64_majority_vote():
+    from daft_minhash_dedupe_spark.extras.multimodal import video_fp64
+
+    assert video_fp64([0b1011, 0b1011, 0b0100]) == 0b1011
+    assert video_fp64([-1, -1, 0]) == -1  # signed int64 round trip
+    assert video_fp64([0b01, 0b10]) == 0  # even split: strict majority
+    with pytest.raises(ValueError):
+        video_fp64([])
+
+
+def test_extract_video_frames_distributed(spark):
+    """Mixed AVI + GIF payloads in one DataFrame decode in one narrow
+    mapInPandas pass; on_error modes absorb a corrupt payload."""
+    from daft_minhash_dedupe_spark.extras.avi_codec import encode_avi
+    from daft_minhash_dedupe_spark.extras.gif_codec import encode_gif
+    from daft_minhash_dedupe_spark.extras.multimodal import (
+        ahash64,
+        extract_video_frames,
+    )
+
+    frames = _avi_test_frames(seed=11)
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    rows = [
+        (0, encode_avi(frames, frame_ms=40, codec="dib")),
+        (1, encode_gif([f[:, :, 0] for f in frames], pal, delays_ms=[40, 40, 40])),
+        (2, b"RIFF broken"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    ok = df.where("media_id < 2")
+    got = extract_video_frames(ok).collect()
+    expect = {(mid, i, 40 * i, ahash64(f)) for mid in (0, 1) for i, f in enumerate(frames)}
+    assert {(r["media_id"], r["frame_idx"], r["t_ms"], r["ahash"]) for r in got} == expect
+    assert all(r["width"] == 16 and r["height"] == 16 for r in got)
+    with pytest.raises(Exception):
+        extract_video_frames(df).collect()
+    nulls = extract_video_frames(df, on_error="null").collect()
+    assert {r["media_id"] for r in nulls if r["ahash"] is None} == {2}
+    assert len(extract_video_frames(df, on_error="skip").collect()) == 6
+
+
+def test_video_near_dup_across_containers(spark):
+    """The SAME video shipped as raw-DIB AVI, MJPEG AVI, and animated GIF
+    must pair up (fingerprints bit-identical across containers); distinct
+    videos must not."""
+    from daft_minhash_dedupe_spark.extras.avi_codec import encode_avi
+    from daft_minhash_dedupe_spark.extras.gif_codec import encode_gif
+    from daft_minhash_dedupe_spark.extras.multimodal import video_near_dup_pairs
+
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    rows = []
+    for i in range(3):
+        frames = _avi_test_frames(seed=100 + i)
+        rows.append((10 * i + 0, encode_avi(frames, frame_ms=40, codec="dib")))
+        rows.append((10 * i + 1, encode_avi(frames, frame_ms=40, codec="mjpg")))
+        rows.append(
+            (10 * i + 2,
+             encode_gif([f[:, :, 0] for f in frames], pal, delays_ms=[40] * 3))
+        )
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        tuple(sorted((r["u"], r["v"])))
+        for r in video_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    for i in range(3):
+        ids = [10 * i + j for j in range(3)]
+        for a in range(3):
+            for b in range(a + 1, 3):
+                assert (ids[a], ids[b]) in pairs, (i, a, b)
+    assert all(u // 10 == v // 10 for u, v in pairs)

@@ -263,6 +263,10 @@ def encode_gif(
     out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), bg_index, 0)
     out += pal_full.tobytes()
     delays = delays_ms or [0] * len(frames)
+    if len(delays) != len(frames):
+        raise ValueError(
+            f"delays_ms has {len(delays)} entries for {len(frames)} frames"
+        )
     for fi, frame in enumerate(frames):
         idx = np.asarray(frame, dtype=np.uint8)
         if idx.shape != (h, w):

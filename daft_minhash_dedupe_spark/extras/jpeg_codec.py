@@ -187,11 +187,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     pos = 2
     n = len(payload)
     scan = None
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of extra 0xFF fill bytes may pad before
+        # the marker code — skip the run so padded files parse
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > n:
             break
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seglen]

@@ -12,10 +12,14 @@ signatures, partitioning) is real and tested. Decoding has two tiers:
   Huffman entropy decode, dequantize, IDCT, chroma upsample, YCbCr->RGB
   (``extras/jpeg_codec.py``) — exercised end-to-end by the feature /
   fingerprint extractors and oracle-checked driver queries.
-- Progressive JPEG and video stay gated (``NotImplementedError``):
-  progressive needs multi-scan coefficient accumulation and video needs
-  ffmpeg; ``decode_image_stub`` (deterministic byte-histogram fake) stands
-  in where needed so the distributed dataflow stays fully testable.
+- Video decodes in-tree too: AVI containers with DIB or MJPEG streams
+  (RIFF walk + per-frame JPEG, ``extras/avi_codec.py``) and animated GIF
+  (LZW + frame compositing, ``extras/gif_codec.py``) feed the frame
+  sampler and the majority-vote video fingerprint. Still gated
+  (``NotImplementedError``): progressive/arithmetic JPEG (multi-scan
+  coefficient accumulation) and mp4/webm-style containers (need ffmpeg);
+  ``decode_image_stub`` (deterministic byte-histogram fake) stands in
+  where needed so the distributed dataflow stays fully testable.
 """
 
 from __future__ import annotations

@@ -115,6 +115,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + length > len(payload):
+            raise ValueError("PNG chunk length overruns payload")
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
@@ -143,7 +145,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
     ch = _CHANNELS[color_type]
     stride = width * ch
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("PNG has no IDAT data")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT deflate stream corrupt: {e}") from e
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel stream length mismatch")
     bpp = ch

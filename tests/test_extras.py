@@ -2071,3 +2071,63 @@ def test_video_near_dup_across_containers(spark):
             for b in range(a + 1, 3):
                 assert (ids[a], ids[b]) in pairs, (i, a, b)
     assert all(u // 10 == v // 10 for u, v in pairs)
+
+
+def test_jpeg_fill_bytes_between_segments():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a marker
+    code — padded files must decode identically to unpadded ones."""
+    from daft_minhash_dedupe_spark.extras.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(31)
+    g = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    jpg = encode_jpeg(g)
+    want = decode_jpeg(jpg)
+    # pad right after SOI and before the SOF0 marker code
+    padded = jpg[:2] + b"\xff" * 3 + jpg[2:]
+    padded = padded.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    assert np.array_equal(decode_jpeg(padded), want)
+
+
+def test_gif_encode_rejects_delay_count_mismatch():
+    import pytest as _pytest
+
+    from daft_minhash_dedupe_spark.extras.gif_codec import encode_gif
+
+    pal = np.repeat(np.arange(4, dtype=np.uint8)[:, None], 3, axis=1)
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    with _pytest.raises(ValueError, match="delays_ms"):
+        encode_gif([idx, idx], pal, delays_ms=[40])
+
+
+def test_png_loud_value_errors_on_missing_idat_and_bad_streams():
+    """decode_png's documented contract is loud ValueError on malformed
+    input — no raw zlib.error / struct.error escapes: empty IDAT, corrupt
+    deflate stream, and an oversized chunk-length field all raise ValueError
+    with a descriptive message."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from daft_minhash_dedupe_spark.extras.png_codec import (
+        _SIG,
+        _chunk,
+        decode_png,
+        encode_png,
+    )
+
+    arr = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    # no IDAT chunk at all
+    with _pytest.raises(ValueError, match="IDAT"):
+        decode_png(_SIG + ihdr + _chunk(b"IEND", b""))
+    # IDAT present but the deflate stream is garbage (CRC is valid)
+    with _pytest.raises(ValueError, match="deflate"):
+        decode_png(
+            _SIG + ihdr + _chunk(b"IDAT", b"notdeflate") + _chunk(b"IEND", b"")
+        )
+    # chunk length field pointing past the end of the payload
+    png = bytearray(encode_png(arr))
+    struct.pack_into(">I", png, 8, 1 << 30)  # IHDR length -> huge
+    with _pytest.raises(ValueError, match="overruns"):
+        decode_png(bytes(png))

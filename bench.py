@@ -30,6 +30,42 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def host_probe() -> dict:
+    """~2.5 s host-health probe, emitted into the bench artifact itself so a
+    contention-poisoned measurement window is visible in the recorded JSON
+    (this sandbox carries a variable co-tenant: BENCH/BASELINE.md round-4
+    measured a 7x DRAM-bandwidth spread between identical concurrent
+    processes while the CPU probe stayed flat). Two readings:
+
+    - cpu_md5_mbps: cache-resident single-core md5 spin — runnable-core
+      contention shows here (healthy ~800+ MB/s, flat across rounds)
+    - dram_gbps: 128 MB memcpy loop (read+write counted) — the co-tenant's
+      memory-bus pressure shows here (healthy ~8+ GB/s; the round-4
+      poisoned window measured 1.9 GB/s on this probe)
+    """
+    import hashlib
+
+    import numpy as np
+
+    buf = b"x" * (1 << 16)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 1.0:
+        hashlib.md5(buf).digest()
+        n += 1
+    cpu = n * len(buf) / (time.time() - t0) / 1e6
+    a = np.ones(128 * 1024 * 1024 // 8, dtype=np.float64)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # fault the pages before the clock starts
+    t0 = time.time()
+    it = 0
+    while time.time() - t0 < 1.5:
+        np.copyto(b, a)
+        it += 1
+    dram = it * a.nbytes * 2 / (time.time() - t0) / 1e9
+    return {"cpu_md5_mbps": round(cpu, 1), "dram_gbps": round(dram, 2)}
+
+
 def _fresh_spark(n_cores: int, shuffle_partitions: int | None = None):
     from daft_minhash_dedupe_spark.session import get_spark
 
@@ -289,6 +325,99 @@ def run_skew(spark, total_rows: int, hot_frac: float = 0.25, repeats: int = 2) -
     }
 
 
+def cc_stress_edges(spark, n_nodes: int, star_size: int):
+    """Star-chained single component: n_nodes/star_size stars (leaf→hub
+    edges) whose hubs form one long chain — a ~10^6-node component whose
+    hub-chain diameter (~n_nodes/star_size) is the worst shape for
+    label-diffusion CC. Star contraction must still converge in O(log
+    diameter) rounds or a real 100-TB boilerplate cluster (every page
+    sharing one template) would never finish."""
+    from pyspark.sql import functions as F
+
+    leaves = (
+        spark.range(n_nodes)
+        .where(F.col("id") % star_size != 0)
+        .select(
+            (F.col("id") - F.col("id") % star_size).alias("u"),
+            F.col("id").alias("v"),
+        )
+    )
+    n_hubs = n_nodes // star_size
+    chain = spark.range(n_hubs - 1).select(
+        (F.col("id") * star_size).alias("u"),
+        ((F.col("id") + 1) * star_size).alias("v"),
+    )
+    return leaves.unionByName(chain)
+
+
+class RoundCounter:
+    """Checkpoint wrapper that records the per-phase iteration names the CC
+    loop passes it — the observable for max_loops-margin assertions."""
+
+    def __init__(self):
+        from daft_minhash_dedupe_spark.operators.components import _local_checkpoint
+
+        self.names: list[str] = []
+        self._inner = _local_checkpoint
+
+    def __call__(self, df, name):
+        self.names.append(name)
+        return self._inner(df, name)
+
+    def rounds(self) -> dict:
+        import re
+
+        def max_idx(pat):
+            idxs = [int(m.group(1)) for n in self.names if (m := re.match(pat, n))]
+            return max(idxs, default=0)
+
+        return {
+            "small_star_rounds": max_idx(r"cc_edges_(\d+)$"),
+            "large_star_steps": sum(1 for n in self.names if n.startswith("cc_large_")),
+            "label_prop_iters": max_idx(r"lp_labels_(\d+)$"),
+        }
+
+
+def run_cc_stress(
+    spark, n_nodes: int = 1_000_000, star_size: int = 1000, max_loops: int = 100
+) -> dict:
+    """End-to-end CC on the star-chained worst case (VERDICT r4 #8): one
+    ~n_nodes component, diameter ~n_nodes/star_size. Asserts single-component
+    correctness (every rep == global min 0) and reports the per-phase round
+    counts against max_loops."""
+    from pyspark.sql import functions as F
+
+    from daft_minhash_dedupe_spark.operators.components import connected_components
+
+    edges = cc_stress_edges(spark, n_nodes, star_size).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    counter = RoundCounter()
+    t0 = time.time()
+    assigns = connected_components(
+        edges, algorithm="two_phase", max_loops=max_loops, checkpoint=counter
+    ).localCheckpoint(eager=True)
+    sec = time.time() - t0
+    stats = assigns.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("rep").alias("k"),
+        F.max("rep").alias("max_rep"),
+    ).first()
+    rounds = counter.rounds()
+    return {
+        "metric": "cc_stress_seconds",
+        "value": round(sec, 2),
+        "unit": "sec",
+        "nodes": n_nodes,
+        "edges": n_edges,
+        "hub_chain_diameter": n_nodes // star_size,
+        "assigned_nodes": stats["n"],
+        "components": stats["k"],
+        "all_reps_are_global_min": stats["max_rep"] == 0,
+        "max_loops": max_loops,
+        **rounds,
+    }
+
+
 def run_recall(spark, n_docs: int = 5000, seed: int = 11) -> dict:
     """Dup-pair recall vs planted ground truth + near-miss precision +
     cluster parity vs the pure-Python oracle (BASELINE.md criteria)."""
@@ -351,6 +480,13 @@ def main() -> None:
         help="exact-substring span-removal throughput on the flagship corpus",
     )
     ap.add_argument(
+        "--cc-stress",
+        action="store_true",
+        help="connected-components on a star-chained single ~1M-node "
+        "component (--docs = node count): correctness + round counts "
+        "vs max_loops + wall",
+    )
+    ap.add_argument(
         "--stream-neardup",
         action="store_true",
         help="streaming near-dup suppression: per-micro-batch cost flatness "
@@ -375,32 +511,47 @@ def main() -> None:
         "--repeats",
         type=int,
         default=1,
-        help="--scaling only: interleave hi/lo runs N times and report the "
-        "best (min wall) per level — suppresses ambient host noise, which "
-        "on this sandbox drifts ~10-15%% over a session",
+        help="--scaling/--flagship-only/--tiered: run N times and report "
+        "the best (min wall) per level/arm — suppresses ambient host "
+        "noise, which on this sandbox drifts ~10-15%% over a session",
+    )
+    ap.add_argument(
+        "--flagship-repeats",
+        type=int,
+        default=2,
+        help="default sweep: best-of-N for the two flagship timings "
+        "(the rest of the sweep runs once)",
     )
     args = ap.parse_args()
 
     if args.flagship_only:
-        spark = _fresh_spark(CPUS)
-        sec, rows = run_flagship(
-            spark, args.docs, min_tokens=args.min_tokens, max_tokens=args.max_tokens
-        )
+        probe_start = host_probe()
+        runs = []
+        for _ in range(max(args.repeats, 1)):
+            spark = _fresh_spark(CPUS)
+            sec, rows = run_flagship(
+                spark, args.docs, min_tokens=args.min_tokens, max_tokens=args.max_tokens
+            )
+            runs.append(round(sec, 2))
+            spark.stop()
+        sec = min(runs)
         print(
             json.dumps(
                 {
                     "metric": "flagship_dedup_seconds",
-                    "value": round(sec, 2),
+                    "value": sec,
                     "unit": "sec",
                     "rows": rows,
                     "docs_per_sec": round(rows / sec, 1),
                     "min_tokens": args.min_tokens,
                     "max_tokens": args.max_tokens,
                     "cores": CPUS,
+                    "all_runs": runs,
+                    "probe_start": probe_start,
+                    "probe_end": host_probe(),
                 }
             )
         )
-        spark.stop()
         return
 
     if args.recall:
@@ -447,6 +598,13 @@ def main() -> None:
         spark.stop()
         return
 
+    if args.cc_stress:
+        spark = _fresh_spark(CPUS)
+        n = args.docs if args.docs != 20000 else 1_000_000
+        print(json.dumps(run_cc_stress(spark, n_nodes=n)))
+        spark.stop()
+        return
+
     if args.stream_neardup:
         spark = _fresh_spark(CPUS)
         print(json.dumps(run_stream_neardup(spark)))
@@ -474,6 +632,7 @@ def main() -> None:
             "input_docs": args.docs,
             "min_tokens": args.min_tokens,
             "max_tokens": args.max_tokens,
+            "probe_start": host_probe(),
             "runs": {},
         }
         lo, hi = max(CPUS // 4, 1), CPUS
@@ -498,14 +657,28 @@ def main() -> None:
         th = report["runs"][f"local[{hi}]"]["docs_per_sec"]
         report["scaling_efficiency"] = round(th / (tl * (hi / lo)), 3)
         report["speedup"] = round(th / tl, 2)
+        report["probe_end"] = host_probe()
         print(json.dumps(report))
         return
 
+    probe_start = host_probe()
     spark = _fresh_spark(CPUS)
-    sec, rows = run_documents_dedupe(spark, SF_DIR)
-    queries = {"flagship_documents_dedupe": round(sec, 3)}
-    syn_sec, syn_rows = run_flagship(spark, args.docs)
-    queries["flagship_synthetic_20k"] = round(syn_sec, 3)
+    # best-of-N on the two flagship timings (memo-busting: each repeat is a
+    # fresh pipeline object; the corpus localCheckpoint is rebuilt per call)
+    # — one retry defends the headline numbers against a transient co-tenant
+    # burst without rerunning the whole sweep
+    reps = max(args.flagship_repeats, 1)
+    doc_runs, syn_runs = [], []
+    for _ in range(reps):
+        sec, rows = run_documents_dedupe(spark, SF_DIR)
+        doc_runs.append(sec)
+        syn_sec, syn_rows = run_flagship(spark, args.docs)
+        syn_runs.append(syn_sec)
+    sec, syn_sec = min(doc_runs), min(syn_runs)
+    queries = {
+        "flagship_documents_dedupe": round(sec, 3),
+        "flagship_synthetic_20k": round(syn_sec, 3),
+    }
     if not args.skip_queries:
         queries.update(timed_queries(spark, SF_DIR))
     total = sum(queries.values())
@@ -518,6 +691,12 @@ def main() -> None:
         "docs_per_sec_documents": round(rows / sec, 1),
         "docs_per_sec_synthetic": round(syn_rows / syn_sec, 1),
         "total_sec": round(total, 3),
+        "flagship_all_runs": {
+            "documents": [round(s, 3) for s in doc_runs],
+            "synthetic": [round(s, 3) for s in syn_runs],
+        },
+        "probe_start": probe_start,
+        "probe_end": host_probe(),
     }
     print(json.dumps(result))
     spark.stop()

@@ -147,16 +147,62 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return arr.reshape(height, width, channels)
 
 
+_NATIVE_IMAGE_DECODER: object = "unresolved"
+
+
+def _native_image_decoder():
+    """Resolve a native image decoder (Pillow) once per interpreter and cache
+    the result — on a real cluster deployment with Pillow on the executors
+    the compressed-format hot path runs at C speed with zero config, while
+    this container (no Pillow) falls back to the in-tree numpy codecs. The
+    resolved callable returns the same (H, W, channels) uint8 layout the
+    in-tree decoders produce, so every downstream extractor is
+    decoder-agnostic. Returns None when no native library is importable."""
+    global _NATIVE_IMAGE_DECODER
+    if _NATIVE_IMAGE_DECODER == "unresolved":
+        try:
+            from PIL import Image as _PILImage  # noqa: F401
+
+            def _decode(payload: bytes) -> np.ndarray:
+                from PIL import Image
+
+                with Image.open(io.BytesIO(payload)) as im:
+                    if im.mode not in ("L", "RGB"):
+                        im = im.convert("RGB")
+                    arr = np.asarray(im, dtype=np.uint8)
+                return arr[:, :, None] if arr.ndim == 2 else arr
+
+            _NATIVE_IMAGE_DECODER = _decode
+        except Exception:
+            _NATIVE_IMAGE_DECODER = None
+    return _NATIVE_IMAGE_DECODER
+
+
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Real image decode dispatch: PPM/PGM (header parse + reshape, here),
-    PNG (stdlib zlib inflate + scanline filter reconstruction + palette,
-    extras/png_codec.py), and baseline JPEG (DHT Huffman + IDCT + chroma
-    upsample, extras/jpeg_codec.py) — all decoded for real with no external
-    library. Only progressive JPEG / exotic variants still raise (inside
-    decode_jpeg). The mapInPandas plumbing below is agnostic to which
-    decoder is plugged in."""
+    """Real image decode dispatch: PPM/PGM (header parse + reshape, here —
+    always in-tree, it is a header parse + one reshape), and for compressed
+    containers (PNG / JPEG / GIF) a native decoder (Pillow) when one is
+    importable, else the in-tree from-scratch codecs: PNG (zlib inflate +
+    scanline filter reconstruction + palette, extras/png_codec.py), baseline
+    JPEG (DHT Huffman + IDCT + chroma upsample, extras/jpeg_codec.py),
+    GIF (LZW + palette, extras/gif_codec.py). A native-path decode failure
+    falls back to the in-tree codec rather than erroring, so a Pillow
+    build-gap (e.g. missing optional plugin) never changes results — only
+    speed. Progressive/arithmetic JPEG still raises on the in-tree path
+    (inside decode_jpeg). The mapInPandas plumbing below is agnostic to
+    which decoder is plugged in."""
     if payload.startswith((b"P6", b"P5")):
         return decode_ppm(payload)
+    compressed = payload.startswith(
+        (b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF87a", b"GIF89a")
+    )
+    if compressed:
+        native = _native_image_decoder()
+        if native is not None:
+            try:
+                return native(payload)
+            except Exception:
+                pass
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         from daft_minhash_dedupe_spark.extras.png_codec import decode_png
 

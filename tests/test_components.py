@@ -141,3 +141,33 @@ def test_driver_fallback_identical_to_distributed(spark):
 
     empty = spark.createDataFrame([], "u long, v long")
     assert connected_components(empty, driver_fallback_edges=100).count() == 0
+
+
+def test_cc_star_chain_converges_with_max_loops_margin(spark):
+    """Star-chained worst case (bench --cc-stress at 25x smaller scale):
+    one component of 40k nodes whose 200-hub chain gives diameter ~200.
+    Star contraction must converge in O(log diameter) rounds — assert a
+    4x margin under the default max_loops=100 budget, and exact
+    correctness (single component labeled by the global min)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import RoundCounter, cc_stress_edges
+
+    from daft_minhash_dedupe_spark.operators.components import connected_components
+
+    edges = cc_stress_edges(spark, 40_000, 200).localCheckpoint(eager=True)
+    counter = RoundCounter()
+    assigns = connected_components(
+        edges, algorithm="two_phase", max_loops=100, checkpoint=counter
+    )
+    rows = assigns.collect()
+    assert len(rows) == 40_000
+    assert {r["rep"] for r in rows} == {0}
+    rounds = counter.rounds()
+    # log2(200) ~ 8; anything near max_loops means contraction degraded to
+    # per-hop diffusion and a 10^6-hub chain would blow the budget
+    assert rounds["small_star_rounds"] <= 25, rounds
+    assert rounds["large_star_steps"] <= 50, rounds
+    assert rounds["label_prop_iters"] <= 25, rounds

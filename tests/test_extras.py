@@ -2131,3 +2131,112 @@ def test_png_loud_value_errors_on_missing_idat_and_bad_streams():
     struct.pack_into(">I", png, 8, 1 << 30)  # IHDR length -> huge
     with _pytest.raises(ValueError, match="overruns"):
         decode_png(bytes(png))
+
+
+def _fake_pil(monkeypatch, open_fn):
+    """Install a fake PIL package (Image.open = open_fn) and reset the
+    multimodal native-decoder cache so the next decode re-resolves. Pillow
+    is absent in this container, so the plug point is pinned with a
+    monkeypatched module — on a real deployment the same dispatch resolves
+    the real library."""
+    import sys
+    import types
+
+    from daft_minhash_dedupe_spark.extras import multimodal
+
+    pil = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = open_fn
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    monkeypatch.setattr(multimodal, "_NATIVE_IMAGE_DECODER", "unresolved")
+
+
+class _FakePILImage:
+    """Minimal PIL.Image.Image stand-in: context manager + __array__."""
+
+    def __init__(self, arr, mode="RGB"):
+        self._arr = arr
+        self.mode = mode
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def __array__(self, dtype=None, copy=None):
+        return self._arr.astype(dtype) if dtype is not None else self._arr
+
+
+def test_native_image_decoder_preferred_when_present(monkeypatch):
+    """When a native decoder (Pillow) is importable it wins on compressed
+    containers; PPM stays in-tree (header parse + reshape, nothing to win)."""
+    from daft_minhash_dedupe_spark.extras import multimodal
+    from daft_minhash_dedupe_spark.extras.png_codec import encode_png
+
+    sentinel = np.full((4, 4, 3), 7, dtype=np.uint8)
+    calls = []
+
+    def fake_open(bio):
+        calls.append(bio.read(4))
+        return _FakePILImage(sentinel)
+
+    _fake_pil(monkeypatch, fake_open)
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    out = multimodal.decode_image_real(encode_png(arr))
+    assert np.array_equal(out, sentinel) and len(calls) == 1  # native won
+    # PPM bypasses the native path entirely
+    ppm = b"P6\n4 4\n255\n" + arr.tobytes()
+    assert np.array_equal(multimodal.decode_image_real(ppm), arr)
+    assert len(calls) == 1
+
+
+def test_native_image_decoder_same_ahash_both_paths(monkeypatch):
+    """A correct native decoder and the in-tree codecs produce the SAME
+    aHash for the same payload (PNG, JPEG and GIF), and a native decoder
+    that fails on a payload falls back to the in-tree codec instead of
+    erroring — a Pillow build-gap changes speed, never results."""
+    from daft_minhash_dedupe_spark.extras import multimodal
+    from daft_minhash_dedupe_spark.extras.gif_codec import encode_gif
+    from daft_minhash_dedupe_spark.extras.jpeg_codec import decode_jpeg, encode_jpeg
+    from daft_minhash_dedupe_spark.extras.png_codec import decode_png, encode_png
+    from daft_minhash_dedupe_spark.extras.gif_codec import decode_gif
+
+    rng = np.random.RandomState(47)
+    rgb = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    payloads = [
+        encode_png(rgb, filter_type=4),
+        encode_jpeg(gray),
+        encode_gif([gray], pal),
+    ]
+
+    # in-tree reference hashes (native disabled)
+    monkeypatch.setattr(multimodal, "_NATIVE_IMAGE_DECODER", None)
+    want = [multimodal.ahash64(multimodal.decode_image_real(p)) for p in payloads]
+
+    # "native" decoder that is simply correct (delegates to the in-tree
+    # codecs, shaped like Pillow output) — hashes must match exactly
+    def good_open(bio):
+        data = bio.read()
+        if data.startswith(b"\x89PNG"):
+            return _FakePILImage(decode_png(data))
+        if data.startswith(b"\xff\xd8"):
+            a = decode_jpeg(data)
+            return _FakePILImage(a[:, :, 0], mode="L") if a.shape[2] == 1 else _FakePILImage(a)
+        return _FakePILImage(decode_gif(data))
+
+    _fake_pil(monkeypatch, good_open)
+    got = [multimodal.ahash64(multimodal.decode_image_real(p)) for p in payloads]
+    assert got == want
+
+    # native decoder that blows up -> in-tree fallback, same hashes
+    def broken_open(bio):
+        raise OSError("decoder plugin missing")
+
+    _fake_pil(monkeypatch, broken_open)
+    got = [multimodal.ahash64(multimodal.decode_image_real(p)) for p in payloads]
+    assert got == want

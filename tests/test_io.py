@@ -89,3 +89,101 @@ def test_streaming_lang_counts(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r["lang"], r["n_docs"]) for r in spark.sql("select * from lang_counts").collect()}
     assert ("en", 2) in rows and ("fr", 1) in rows
+
+
+def test_iceberg_dispatch_logic(monkeypatch):
+    """The Iceberg branch can't run live here (no runtime jar on the box),
+    so pin its dispatch contract with recording stand-ins: a dotted table
+    identifier + available catalog routes through writeTo(...).using(
+    'iceberg') / spark.read.table, any path (or no catalog) routes through
+    parquet, and a failed createOrReplace falls back to
+    overwritePartitions."""
+    from daft_minhash_dedupe_spark import io as io_mod
+
+    calls = []
+
+    class FakeV2Writer:
+        def __init__(self, target, fail_create=False):
+            self.target, self.fail_create = target, fail_create
+
+        def using(self, fmt):
+            calls.append(("using", self.target, fmt))
+            return self
+
+        def createOrReplace(self):
+            if self.fail_create:
+                raise RuntimeError("no create privileges")
+            calls.append(("createOrReplace", self.target))
+
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions", self.target))
+
+    class FakeV1Writer:
+        def mode(self, m):
+            calls.append(("mode", m))
+            return self
+
+        def option(self, *a):
+            return self
+
+        def partitionBy(self, *cols):
+            calls.append(("partitionBy", cols))
+            return self
+
+        def parquet(self, path):
+            calls.append(("parquet_write", path))
+
+    class FakeDF:
+        def __init__(self, fail_create=False):
+            self.sparkSession = FakeSpark()
+            self.fail_create = fail_create
+            self.write = FakeV1Writer()
+
+        def writeTo(self, target):
+            calls.append(("writeTo", target))
+            return FakeV2Writer(target, self.fail_create)
+
+    class FakeReader:
+        def table(self, name):
+            calls.append(("read_table", name))
+            return "iceberg_df"
+
+        def parquet(self, path):
+            calls.append(("read_parquet", path))
+            return "parquet_df"
+
+    class FakeSpark:
+        read = FakeReader()
+
+    # catalog available + dotted identifier -> Iceberg v2 writer
+    monkeypatch.setattr(io_mod, "iceberg_available", lambda s: True)
+    io_mod.write_table(FakeDF(), "cat.db.tbl")
+    assert calls == [
+        ("writeTo", "cat.db.tbl"),
+        ("using", "cat.db.tbl", "iceberg"),
+        ("createOrReplace", "cat.db.tbl"),
+    ]
+    calls.clear()
+
+    # createOrReplace failure -> overwritePartitions fallback
+    io_mod.write_table(FakeDF(fail_create=True), "cat.db.tbl")
+    assert ("overwritePartitions", "cat.db.tbl") in calls
+    calls.clear()
+
+    # a slash means "path": parquet even with a catalog configured
+    io_mod.write_table(FakeDF(), "/tmp/somewhere", partition_by=["lang"])
+    assert ("parquet_write", "/tmp/somewhere") in calls
+    assert ("partitionBy", ("lang",)) in calls
+    assert not any(c[0] == "writeTo" for c in calls)
+    calls.clear()
+
+    assert io_mod.read_table(FakeSpark(), "cat.db.tbl") == "iceberg_df"
+    assert io_mod.read_table(FakeSpark(), "/tmp/somewhere") == "parquet_df"
+
+    # catalog unavailable -> identifier-shaped target still goes parquet
+    monkeypatch.setattr(io_mod, "iceberg_available", lambda s: False)
+    io_mod.write_table(FakeDF(), "cat.db.tbl")
+    assert [c for c in calls if c[0] == "parquet_write"] == [
+        ("parquet_write", "cat.db.tbl")
+    ]
+    assert io_mod.read_table(FakeSpark(), "cat.db.tbl") == "parquet_df"

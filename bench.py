@@ -81,7 +81,12 @@ def _fresh_spark(n_cores: int, shuffle_partitions: int | None = None):
 
 
 def run_flagship(
-    spark, n_docs: int, seed: int = 42, min_tokens: int = 80, max_tokens: int = 400
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    min_tokens: int = 80,
+    max_tokens: int = 400,
+    dup_rate: float = 0.0,
 ) -> tuple[float, int]:
     """Dedup the deterministic synthetic web corpus; returns (sec, rows_in).
 
@@ -92,7 +97,14 @@ def run_flagship(
     from daft_minhash_dedupe_spark.sources.synthetic_spark import bench_corpus
 
     df = prepare_web_pages(
-        bench_corpus(spark, n_docs, seed, min_tokens=min_tokens, max_tokens=max_tokens)
+        bench_corpus(
+            spark,
+            n_docs,
+            seed,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            dup_rate=dup_rate,
+        )
     ).localCheckpoint(eager=True)
     rows_in = df.count()
     t0 = time.time()
@@ -102,7 +114,12 @@ def run_flagship(
 
 
 def run_tiered(
-    spark, n_docs: int, seed: int = 42, min_tokens: int = 80, max_tokens: int = 400
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    min_tokens: int = 80,
+    max_tokens: int = 400,
+    dup_rate: float = 0.0,
 ) -> tuple[float, int]:
     """Tiered cascade (exact tier0/1b + minhash; no line tier — the synthetic
     corpus is single-line) on the same corpus run_flagship uses. The corpus
@@ -115,7 +132,14 @@ def run_tiered(
     from daft_minhash_dedupe_spark.sources.synthetic_spark import bench_corpus
 
     df = prepare_web_pages(
-        bench_corpus(spark, n_docs, seed, min_tokens=min_tokens, max_tokens=max_tokens)
+        bench_corpus(
+            spark,
+            n_docs,
+            seed,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            dup_rate=dup_rate,
+        )
     ).localCheckpoint(eager=True)
     rows_in = df.count()
     t0 = time.time()
@@ -137,6 +161,7 @@ def run_exactsubstr(
     min_tokens: int = 80,
     max_tokens: int = 400,
     window_tokens: int = 20,
+    dup_rate: float = 0.0,
 ) -> dict:
     """Exact-substring span removal throughput on the same corpus the
     flagship uses (its duplicate families share long verbatim runs, so the
@@ -151,7 +176,14 @@ def run_exactsubstr(
     from daft_minhash_dedupe_spark.sources.synthetic_spark import bench_corpus
 
     df = prepare_web_pages(
-        bench_corpus(spark, n_docs, seed, min_tokens=min_tokens, max_tokens=max_tokens)
+        bench_corpus(
+            spark,
+            n_docs,
+            seed,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            dup_rate=dup_rate,
+        )
     ).localCheckpoint(eager=True)
     rows_in = df.count()
     t0 = time.time()
@@ -508,6 +540,14 @@ def main() -> None:
         help="--exactsubstr only: duplicated-run window length k",
     )
     ap.add_argument(
+        "--dup-rate",
+        type=float,
+        default=0.0,
+        help="corpus generator: fraction of unique-pool rows converted to "
+        "verbatim re-crawls (additive on the ~8%% built-in mass) — the "
+        "CC re-crawl economics knob for --tiered/--flagship-only/--scaling",
+    )
+    ap.add_argument(
         "--repeats",
         type=int,
         default=1,
@@ -530,7 +570,11 @@ def main() -> None:
         for _ in range(max(args.repeats, 1)):
             spark = _fresh_spark(CPUS)
             sec, rows = run_flagship(
-                spark, args.docs, min_tokens=args.min_tokens, max_tokens=args.max_tokens
+                spark,
+                args.docs,
+                min_tokens=args.min_tokens,
+                max_tokens=args.max_tokens,
+                dup_rate=args.dup_rate,
             )
             runs.append(round(sec, 2))
             spark.stop()
@@ -545,6 +589,7 @@ def main() -> None:
                     "docs_per_sec": round(rows / sec, 1),
                     "min_tokens": args.min_tokens,
                     "max_tokens": args.max_tokens,
+                    "dup_rate": args.dup_rate,
                     "cores": CPUS,
                     "all_runs": runs,
                     "probe_start": probe_start,
@@ -574,6 +619,7 @@ def main() -> None:
                     args.docs,
                     min_tokens=args.min_tokens,
                     max_tokens=args.max_tokens,
+                    dup_rate=args.dup_rate,
                 )
                 runs[arm].append(round(sec, 2))
                 spark.stop()
@@ -583,6 +629,7 @@ def main() -> None:
                 {
                     "metric": "tiered_vs_flagship_seconds",
                     "rows": rows,
+                    "dup_rate": args.dup_rate,
                     "flagship_best": best_f,
                     "tiered_best": best_t,
                     "tiered_over_flagship": round(best_t / best_f, 3),
@@ -632,6 +679,7 @@ def main() -> None:
             "input_docs": args.docs,
             "min_tokens": args.min_tokens,
             "max_tokens": args.max_tokens,
+            "dup_rate": args.dup_rate,
             "probe_start": host_probe(),
             "runs": {},
         }
@@ -643,7 +691,11 @@ def main() -> None:
         for n in order:
             spark = _fresh_spark(n)
             sec, rows = run_flagship(
-                spark, args.docs, min_tokens=args.min_tokens, max_tokens=args.max_tokens
+                spark,
+                args.docs,
+                min_tokens=args.min_tokens,
+                max_tokens=args.max_tokens,
+                dup_rate=args.dup_rate,
             )
             all_runs[n].append(
                 {"sec": round(sec, 2), "docs_per_sec": round(rows / sec, 1), "rows": rows}

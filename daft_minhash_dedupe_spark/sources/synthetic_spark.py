@@ -21,6 +21,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _canonical_template(seed: int, n_rows: int, hot_size: int):
+    """Re-crawl target resolution: pick a uniform target id, then map it to
+    the template ITS OWN row renders (hot → 0, family member → floor4), so a
+    re-crawl of a hot or family target reproduces text some row actually
+    carries instead of an orphan canonical stream. One resolution level is
+    enough: only target-is-itself-a-recrawl chains (rate·0.7 of targets)
+    still land on unique-pool streams, which is the dominant case anyway."""
+    t0 = F.pmod(F.xxhash64(F.lit(seed), F.col("id"), F.lit("src")), F.lit(n_rows))
+    t0_hot = t0 < hot_size
+    t0_fam = (~t0_hot) & (
+        F.pmod(F.xxhash64(F.lit(seed), t0, F.lit("fam")), F.lit(10)) < 3
+    )
+    return (
+        F.when(t0_hot, F.lit(0))
+        .when(t0_fam, (t0 / 4).cast("long") * 4)
+        .otherwise(t0)
+    )
+
+
 def bench_corpus(
     spark: SparkSession,
     n_rows: int,
@@ -29,21 +48,42 @@ def bench_corpus(
     hot_size: int = 100,
     min_tokens: int = 80,
     max_tokens: int = 400,
+    dup_rate: float = 0.0,
 ) -> DataFrame:
     """(url, warc_ts, html, text, lang) input_hint-shaped DataFrame.
 
     ``min_tokens``/``max_tokens`` bound document length: the defaults model
     whole web pages; (5, 40) models the reference's Common-Crawl *text
     blocks* (short title/paragraph fragments, its 5×10⁶-row headline shape).
+
+    ``dup_rate``: fraction of the unique-pool rows (the ~70% outside the
+    hot family and the noisy families) converted into verbatim re-crawls of
+    a uniformly chosen template stream — the Common-Crawl re-crawl knob.
+    Text is a pure function of (template, noisy, length) and length is
+    itself derived from template, so pointing template at a random id with
+    noisy=false reproduces that row's canonical stream byte-exactly.
+    Additive on top of the ~8% built-in verbatim mass (family member 1s +
+    the hot family); 0.25 models the 25-50% byte-identical re-crawl excess
+    real CC snapshots carry.
     """
     if max_tokens < min_tokens:
         raise ValueError(f"max_tokens {max_tokens} < min_tokens {min_tokens}")
+    if not 0.0 <= dup_rate <= 1.0:
+        raise ValueError(f"dup_rate {dup_rate} outside [0, 1]")
     par = spark.sparkContext.defaultParallelism
     base = spark.range(0, n_rows, 1, par)
 
     is_hot = F.col("id") < hot_size
     in_family = (~is_hot) & (
         F.pmod(F.xxhash64(F.lit(seed), F.col("id"), F.lit("fam")), F.lit(10)) < 3
+    )
+    is_recrawl = (
+        (~is_hot)
+        & (~in_family)
+        & (
+            F.pmod(F.xxhash64(F.lit(seed), F.col("id"), F.lit("dup")), F.lit(10_000))
+            < int(dup_rate * 10_000)
+        )
     )
     # bind the per-row scalars as real columns so the token lambda references
     # them instead of re-deriving per element (same CSE rule as add_shingles)
@@ -52,6 +92,7 @@ def bench_corpus(
             "template",
             F.when(is_hot, F.lit(0))
             .when(in_family, (F.col("id") / 4).cast("long") * 4)
+            .when(is_recrawl, _canonical_template(seed, n_rows, hot_size))
             .otherwise(F.col("id")),
         )
         .withColumn(

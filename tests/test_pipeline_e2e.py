@@ -121,3 +121,31 @@ def test_short_and_empty_docs_survive(spark):
     df = _docs_df(spark, ["a b", "", "x"])
     out = MinHashDedupePipeline()(df)
     assert out.count() >= 2  # none of these should cluster together
+
+
+def test_bench_corpus_dup_rate_knob(spark):
+    """The --dup-rate re-crawl knob: deterministic, shape-preserving, and
+    the verbatim-duplicate mass moves with the rate (the tiered cascade's
+    tier-0 economics depend on exactly this mass)."""
+    from pyspark.sql import functions as F
+
+    from daft_minhash_dedupe_spark.sources.synthetic_spark import bench_corpus
+
+    def dup_mass(rate):
+        df = bench_corpus(spark, 4000, seed=7, dup_rate=rate)
+        n, groups = df.agg(
+            F.count("*").alias("n"), F.countDistinct("text").alias("g")
+        ).first()
+        assert n == 4000
+        return (n - groups) / n  # rows removable by exact dedup
+
+    base = dup_mass(0.0)
+    hi = dup_mass(0.35)
+    assert 0.04 < base < 0.15  # built-in mass: family member-1s + hot family
+    # 0.35 over the ~70% unique pool with ~20% wasted on family-member
+    # targets -> expect roughly +0.15..0.25 of extra verbatim mass
+    assert hi - base > 0.12, (base, hi)
+    # determinism: same seed+rate => byte-identical corpus
+    a = bench_corpus(spark, 500, seed=3, dup_rate=0.2).orderBy("url").collect()
+    b = bench_corpus(spark, 500, seed=3, dup_rate=0.2).orderBy("url").collect()
+    assert [r["text"] for r in a] == [r["text"] for r in b]

@@ -608,6 +608,7 @@ def main() -> None:
     if args.tiered:
         # interleaved flagship/tiered pairs in ONE session — the ambient-noise
         # estimator for an A/B on this host (best-of-N per arm)
+        tiered_probe_start = host_probe()
         runs = {"flagship": [], "tiered": []}
         for _ in range(max(args.repeats, 1)):
             # fresh session per ARM: sharing one session hands the second arm
@@ -634,6 +635,8 @@ def main() -> None:
                     "tiered_best": best_t,
                     "tiered_over_flagship": round(best_t / best_f, 3),
                     "all_runs": runs,
+                    "probe_start": tiered_probe_start,
+                    "probe_end": host_probe(),
                 }
             )
         )

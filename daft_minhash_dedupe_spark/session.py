@@ -31,6 +31,19 @@ DEFAULT_CONFS: dict[str, str] = {
     # too-coarse initial count — 64 measured a 35% throughput loss vs 256 at
     # 10^7 docs (27.9k → 37.7k docs/s, spill-bound CC/band shuffles)
     "spark.sql.shuffle.partitions": "256",
+    # Straggler defense: relaunch tasks that run far past their stage's
+    # 90th percentile. Observed failure this defends against (round 5, this
+    # sandbox): a hypervisor-throttle window (39% CPU steal) lost a
+    # JVM<->Python-worker socket wakeup — the executor thread parked in
+    # EPoll.wait on PythonRunner's reader while the worker slept in
+    # wait_woken, deadlocking one task of 32 forever at 0% CPU. On a real
+    # cluster the same class of hang (bad node, flaky NIC) is routine;
+    # speculation re-runs the task and the OutputCommitCoordinator
+    # deduplicates commits. Conservative multiplier/quantile so healthy
+    # skewed tasks aren't double-run.
+    "spark.speculation": "true",
+    "spark.speculation.multiplier": "4",
+    "spark.speculation.quantile": "0.9",
     "spark.ui.enabled": "false",
 }
 

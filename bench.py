@@ -42,6 +42,11 @@ def host_probe() -> dict:
     - dram_gbps: 128 MB memcpy loop (read+write counted) — the co-tenant's
       memory-bus pressure shows here (healthy ~8+ GB/s; the round-4
       poisoned window measured 1.9 GB/s on this probe)
+    - syscall_kps: 4 KB /dev/zero reads per millisecond — round 5 found a
+      THIRD noise axis the two userspace probes are blind to: episodic
+      70-83% system-time storms (kernel/hypervisor) that crush Spark's
+      syscall-heavy shuffle I/O while md5/memcpy read healthy. Healthy
+      ~2,400 k/s (0.4 us/call); a storm window shows here.
     """
     import hashlib
 
@@ -63,7 +68,20 @@ def host_probe() -> dict:
         np.copyto(b, a)
         it += 1
     dram = it * a.nbytes * 2 / (time.time() - t0) / 1e9
-    return {"cpu_md5_mbps": round(cpu, 1), "dram_gbps": round(dram, 2)}
+    fd = os.open("/dev/zero", os.O_RDONLY)
+    t0 = time.time()
+    calls = 0
+    while time.time() - t0 < 0.5:
+        for _ in range(1000):
+            os.read(fd, 4096)
+        calls += 1000
+    sys_rate = calls / (time.time() - t0) / 1e3
+    os.close(fd)
+    return {
+        "cpu_md5_mbps": round(cpu, 1),
+        "dram_gbps": round(dram, 2),
+        "syscall_kps": round(sys_rate, 1),
+    }
 
 
 def _fresh_spark(n_cores: int, shuffle_partitions: int | None = None):

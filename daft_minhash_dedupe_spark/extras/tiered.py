@@ -93,7 +93,13 @@ def tiered_dedupe(
                 {"tier": tier, "docs_in": _n(before), "docs_out": _n(after)}
             )
 
-    cur = _mat(df.select(id_col, text_col))
+    # NOT materialized: tier 0's own boundary checkpoint below severs all
+    # upstream lineage, so an eager copy of the RAW input here would be a
+    # full extra pass over the corpus — at the 100-TB deployment shape the
+    # input never fits the storage pool and must stream straight from the
+    # source scan into the first (shrinking) tier. Measured at 2M short
+    # blocks, dropping it cut the cascade's fixed cost materially (round 5).
+    cur = df.select(id_col, text_col)
 
     # tier 0: exact
     t0 = _mat(exact_dedupe(cur, text_col=text_col, id_col=id_col))

@@ -35,6 +35,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dram-floor", type=float, default=14.0, help="GB/s")
     ap.add_argument("--md5-floor", type=float, default=450.0, help="MB/s")
+    ap.add_argument(
+        "--syscall-floor",
+        type=float,
+        default=1500.0,
+        help="k syscalls/s — catches the episodic kernel-time storms the "
+        "userspace probes are blind to (healthy ~2400)",
+    )
     ap.add_argument("--max-wait-sec", type=float, default=1800.0)
     ap.add_argument("--poll-sec", type=float, default=45.0)
     ap.add_argument("bench_args", nargs=argparse.REMAINDER)
@@ -46,7 +53,11 @@ def main() -> int:
     while True:
         p = host_probe()
         waited.append(p)
-        quiet = p["dram_gbps"] >= args.dram_floor and p["cpu_md5_mbps"] >= args.md5_floor
+        quiet = (
+            p["dram_gbps"] >= args.dram_floor
+            and p["cpu_md5_mbps"] >= args.md5_floor
+            and p.get("syscall_kps", float("inf")) >= args.syscall_floor
+        )
         elapsed = time.time() - t0
         print(
             json.dumps({"probe": p, "quiet": quiet, "waited_sec": round(elapsed, 1)}),

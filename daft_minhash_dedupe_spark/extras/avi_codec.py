@@ -41,6 +41,8 @@ import struct
 
 import numpy as np
 
+from daft_minhash_dedupe_spark.extras._codec_util import check_dims, loud_decoder
+
 _BI_RGB = 0
 _MJPG_FOURCCS = (b"MJPG", b"mjpg")
 
@@ -147,6 +149,7 @@ def _movi_frames(data: bytes, pos: int, end: int, out: list[bytes]) -> None:
             out.append(data[body : body + size])
 
 
+@loud_decoder
 def avi_frames(payload: bytes) -> list[tuple[np.ndarray, int]]:
     """Decode an AVI into ``[(frame_rgb, frame_ms), ...]`` — the same
     presentation shape gif_codec.gif_frames yields, so callers treat GIF
@@ -189,6 +192,7 @@ def avi_frames(payload: bytes) -> list[tuple[np.ndarray, int]]:
     )
     _, w, bih_h, _, bitcount, compression, _ = strf
     h = abs(bih_h)
+    check_dims(w, h, "AVI strf")
 
     frames = []
     if compression == _BI_RGB:

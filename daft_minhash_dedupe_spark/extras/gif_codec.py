@@ -36,6 +36,8 @@ import struct
 
 import numpy as np
 
+from daft_minhash_dedupe_spark.extras._codec_util import check_dims, loud_decoder
+
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
@@ -47,6 +49,10 @@ def _interlace_order(height: int) -> list[int]:
 
 
 def _lzw_decode(data: bytes, mcs: int, expected: int) -> list[int]:
+    if not 1 <= mcs <= 11:
+        # the table caps at 4096 codes => valid minimum code size is <= 11;
+        # a corrupt byte here would otherwise size the root table 2**mcs
+        raise ValueError(f"GIF LZW minimum code size {mcs} out of range")
     clear = 1 << mcs
     end = clear + 1
     code_size = mcs + 1
@@ -146,12 +152,14 @@ def _sub_blocks(payload: bytes, pos: int) -> tuple[bytes, int]:
     return b"".join(chunks), pos
 
 
+@loud_decoder
 def gif_frames(payload: bytes) -> list[tuple[np.ndarray, int]]:
     """Decode every frame of a GIF87a/89a: a list of (presented canvas
     (H,W,3) uint8, delay_ms) in presentation order."""
     if not payload.startswith((b"GIF87a", b"GIF89a")):
         raise ValueError("not a GIF payload")
     w, h, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    check_dims(w, h, "GIF logical screen")
     pos = 13
     global_pal = None
     if packed & 0x80:
@@ -231,6 +239,7 @@ def gif_frames(payload: bytes) -> list[tuple[np.ndarray, int]]:
     return frames
 
 
+@loud_decoder
 def decode_gif(payload: bytes) -> np.ndarray:
     """First presented frame as (H, W, 3) uint8 — the still-image view."""
     return gif_frames(payload)[0][0]

@@ -39,6 +39,8 @@ import struct
 
 import numpy as np
 
+from daft_minhash_dedupe_spark.extras._codec_util import check_dims, loud_decoder
+
 # natural-order index for each zigzag position, generated per the spec's
 # diagonal traversal (even diagonals run bottom-left -> top-right)
 def _zigzag_order() -> np.ndarray:
@@ -175,6 +177,7 @@ def _split_entropy(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     return segs, i
 
 
+@loud_decoder
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG to (H, W, 1) gray or (H, W, 3) RGB uint8."""
     if not payload.startswith(b"\xff\xd8"):
@@ -242,8 +245,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ns = body[0]
             scan = []
             for c in range(ns):
-                cs, tt = body[1 + 2 * c : 3 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
+                sel = body[1 + 2 * c : 3 + 2 * c]
+                if len(sel) != 2:
+                    raise ValueError("JPEG SOS header truncated")
+                cs, tt = sel
+                comp = next((x for x in comps if x["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"JPEG SOS references unknown component {cs}")
                 scan.append((comp, tt >> 4, tt & 15))
             pos = pos + 2 + seglen
             break
@@ -251,6 +259,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos = pos + 2 + seglen
     if scan is None or h is None:
         raise ValueError("JPEG missing SOF/SOS")
+    check_dims(w, h, "JPEG SOF")
     if not (1 <= len(scan) <= 3):
         raise NotImplementedError(f"{len(scan)}-component JPEG scan")
     hmax = max(c["h"] for c, _, _ in scan)
@@ -262,6 +271,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for c, _, _ in scan
     ]
     segs, _end = _split_entropy(payload, pos)
+    for comp, dct, act in scan:
+        if comp["tq"] not in qt:
+            raise ValueError(f"JPEG scan uses undefined quant table {comp['tq']}")
+        if (0, dct) not in huff or (1, act) not in huff:
+            raise ValueError(f"JPEG scan uses undefined Huffman table {dct}/{act}")
     seg_idx = 0
     br = _BitReader(segs[0])
     preds = [0] * len(scan)

@@ -29,6 +29,8 @@ import wave
 from collections.abc import Iterator
 
 import numpy as np
+
+from daft_minhash_dedupe_spark.extras._codec_util import loud_decoder
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -86,6 +88,7 @@ def _wav_samples(payload: bytes) -> tuple[dict, np.ndarray]:
     return params, samples
 
 
+@loud_decoder
 def decode_wav(payload: bytes) -> dict:
     """REAL audio decode via stdlib ``wave``: parses the RIFF/WAVE header and
     PCM frames. Returns sample_rate/n_channels/n_frames/duration_ms plus the
@@ -119,6 +122,7 @@ def audio_fp64(samples: np.ndarray, n_windows: int = 64) -> int:
     return int(val.astype(np.int64))
 
 
+@loud_decoder
 def decode_ppm(payload: bytes) -> np.ndarray:
     """REAL image decode for binary PPM (P6, RGB) / PGM (P5, gray): header
     token parse + numpy reshape. No external library needed."""
@@ -129,15 +133,20 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     # (comments stripped), then a single whitespace byte before pixel data
     tokens: list[bytes] = []
     pos = 2
+    end = len(payload)
     while len(tokens) < 3:
-        while payload[pos : pos + 1].isspace():
+        while pos < end and payload[pos : pos + 1].isspace():
             pos += 1
+        if pos >= end:
+            raise ValueError("PPM/PGM header truncated")
         if payload[pos : pos + 1] == b"#":  # comment to end-of-line
             pos = payload.index(b"\n", pos) + 1
             continue
         start = pos
-        while not payload[pos : pos + 1].isspace():
+        while pos < end and not payload[pos : pos + 1].isspace():
             pos += 1
+        if pos >= end:
+            raise ValueError("PPM/PGM header truncated")
         tokens.append(payload[start:pos])
     width, height, maxval = (int(t) for t in tokens)
     if maxval > 255:

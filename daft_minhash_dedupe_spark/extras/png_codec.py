@@ -30,6 +30,8 @@ import zlib
 
 import numpy as np
 
+from daft_minhash_dedupe_spark.extras._codec_util import check_dims, loud_decoder
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # 3 = palette: 1 index byte/px
 
@@ -104,6 +106,7 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+@loud_decoder
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG to (H, W, channels) uint8."""
     if not payload.startswith(_SIG):
@@ -123,6 +126,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"PNG IHDR body is {len(body)} bytes, want 13")
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -143,6 +148,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("palette PNG missing/malformed PLTE chunk")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
+    check_dims(width, height, "PNG IHDR")
     ch = _CHANNELS[color_type]
     stride = width * ch
     if not idat:

@@ -2240,3 +2240,71 @@ def test_native_image_decoder_same_ahash_both_paths(monkeypatch):
     _fake_pil(monkeypatch, broken_open)
     got = [multimodal.ahash64(multimodal.decode_image_real(p)) for p in payloads]
     assert got == want
+
+
+def test_codec_fuzz_error_contract_all_decoders():
+    """Every in-tree decoder's failure surface is ValueError /
+    NotImplementedError, never a raw zlib.error / struct.error /
+    IndexError / KeyError: the mapInPandas extractors catch the two
+    documented types to route rows to on_error handling, so any other
+    escape would kill the whole Arrow batch. Fuzz each decoder with
+    random blobs, truncations at every boundary class, and single-byte
+    flips of a valid payload (deterministic seed)."""
+    import struct as _struct
+    import wave as _wave
+    from io import BytesIO as _BytesIO
+
+    from daft_minhash_dedupe_spark.extras import multimodal
+    from daft_minhash_dedupe_spark.extras.avi_codec import avi_frames, encode_avi
+    from daft_minhash_dedupe_spark.extras.gif_codec import decode_gif, encode_gif
+    from daft_minhash_dedupe_spark.extras.jpeg_codec import decode_jpeg, encode_jpeg
+    from daft_minhash_dedupe_spark.extras.png_codec import decode_png, encode_png
+
+    rng = np.random.RandomState(77)
+    rgb = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    pal = np.repeat(np.arange(8, dtype=np.uint8)[:, None] * 32, 3, axis=1)
+    idx = rng.randint(0, 8, (9, 7)).astype(np.uint8)
+    bio = _BytesIO()
+    with _wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(rng.randint(-300, 300, 64).astype("<i2").tobytes())
+    ppm = b"P6\n7 9\n255\n" + rgb.tobytes()
+    cases = [
+        (decode_png, encode_png(rgb)),
+        (decode_jpeg, encode_jpeg(rgb)),
+        (decode_gif, encode_gif([idx], pal)),
+        (avi_frames, encode_avi([rgb, rgb], frame_ms=200)),
+        (multimodal.decode_ppm, ppm),
+        (multimodal.decode_wav, bio.getvalue()),
+    ]
+    allowed = (ValueError, NotImplementedError)
+
+    def poke(decoder, payload):
+        try:
+            decoder(payload)
+        except allowed:
+            pass  # the documented loud-failure surface
+        # success is fine too: some mutations leave a decodable payload
+
+    for decoder, good in cases:
+        poke(decoder, good)  # baseline must not raise at all
+        decoder(good)
+        # random blobs, incl. ones opening with the right magic
+        for n in (0, 1, 7, 64, 513):
+            poke(decoder, bytes(rng.randint(0, 256, n, dtype=np.uint8)))
+        poke(decoder, good[:8] + bytes(rng.randint(0, 256, 96, dtype=np.uint8)))
+        # truncations: every prefix length class
+        for cut in range(1, len(good), max(1, len(good) // 37)):
+            poke(decoder, good[:cut])
+        # single-byte flips across the payload
+        for pos in range(0, len(good), max(1, len(good) // 53)):
+            mutated = bytearray(good)
+            mutated[pos] ^= 0x5A
+            poke(decoder, bytes(mutated))
+        # length-field inflation: overwrite each 4-byte window with 0xFFFFFFFF
+        for pos in range(0, min(len(good) - 4, 64), 4):
+            mutated = bytearray(good)
+            mutated[pos : pos + 4] = _struct.pack(">I", 0xFFFFFFFF)
+            poke(decoder, bytes(mutated))

@@ -719,7 +719,15 @@ def main() -> None:
                 dup_rate=args.dup_rate,
             )
             all_runs[n].append(
-                {"sec": round(sec, 2), "docs_per_sec": round(rows / sec, 1), "rows": rows}
+                {
+                    "sec": round(sec, 2),
+                    "docs_per_sec": round(rows / sec, 1),
+                    "rows": rows,
+                    # per-run probe: a mid-sequence host collapse (observed
+                    # 4x identical-run spread inside one --scaling call) is
+                    # attributable run-by-run inside the artifact itself
+                    "probe": host_probe(),
+                }
             )
             spark.stop()
         for n in (lo, hi):

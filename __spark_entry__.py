@@ -1279,9 +1279,16 @@ def _q_kernel_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ):
+        # group by a 128-bit digest, never by the full text: byte-identical
+        # text <=> identical digest (collision-negligible), and the shuffle
+        # moves 16-byte keys instead of whole documents — the same hygiene
+        # the engine's exact_dedupe scale path uses (extras/exact_dedupe.py)
         g = (
-            sh.select("text", fp_col.alias("fp"))
-            .groupBy("text")
+            sh.select(
+                F.md5(F.col("text").cast("binary")).alias("text_key"),
+                fp_col.alias("fp"),
+            )
+            .groupBy("text_key")
             .agg(
                 F.countDistinct("fp").alias("k"),
                 F.count("*").alias("n"),
@@ -2164,9 +2171,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text FROM documents
               UNION ALL
               SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
-            g AS (SELECT text, count(*) AS n,
-                         CASE WHEN len({toks}) = 0 THEN count(*) ELSE 0 END AS n_null
-                  FROM all_docs GROUP BY text),
+            g AS (SELECT md5(text) AS text_key, count(*) AS n,
+                         sum(CASE WHEN len({toks}) = 0 THEN 1 ELSE 0 END) AS n_null
+                  FROM all_docs GROUP BY md5(text)),
             one AS (SELECT CAST(count(*) AS BIGINT) AS n_text_groups,
                            CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
                            CAST(sum(n_null) AS BIGINT) AS n_nulls,

@@ -1319,33 +1319,29 @@ def _q_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_assignments,
         merge_assignment_tables,
     )
-    from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline
-
-    pipe = MinHashDedupePipeline(DedupeConfig())
-    docs = _docs_as_blocks(spark, sf_dir).localCheckpoint(eager=False)
-    h = F.pmod(F.xxhash64("block_id"), F.lit(3))
-
-    def stages(d):
-        prepped = pipe.prep(d)
-        bands = pipe.bands(pipe.signatures(pipe.normalize(prepped))).localCheckpoint(
-            eager=False
-        )
-        assigns = connected_components(
-            build_edges_from_buckets(bands), algorithm="hash_to_min"
-        )
-        return prepped, bands, assigns
 
     # Full A∪B run: reuse the memoized flagship pipeline (identical semantics
     # — same config, same star-edge + hash_to_min CC path; salting and the
-    # driver union-find fallback are output-equality tested). Only the two
-    # sub-corpus runs (A, B) execute fresh here.
+    # driver union-find fallback are output-equality tested). The sub-corpus
+    # band tables need no fresh pipeline runs either: prep → normalize →
+    # signatures → bands are all per-row deterministic (pinned by the
+    # cross-parallelism and resume-determinism tests), so batch A's band
+    # table IS the full run's materialized band table filtered by the split
+    # key — re-running the three upstream stages per batch was pure bench
+    # mass. Only the operators this row adjudicates execute fresh: batch A's
+    # CC and the incremental fold of batch B.
     full_res = _run_flagship(spark, sf_dir)
     prepped_all, full = full_res["prepped"], full_res["assignments"]
-    _, a_bands, a_assigns = stages(docs.where(h != 0))
-    _, b_bands, _ = stages(docs.where(h == 0))
+    bands_all = full_res["bands"].select("band_key", "node")
+    h = F.pmod(F.xxhash64("node"), F.lit(3))
+    a_bands = bands_all.where(h != 0).localCheckpoint(eager=False)
+    b_bands = bands_all.where(h == 0).localCheckpoint(eager=False)
+    a_assigns = connected_components(
+        build_edges_from_buckets(a_bands), algorithm="hash_to_min"
+    )
     new_assign, old_updates = incremental_assignments(
-        b_bands.select("band_key", "node"),
-        a_bands.select("band_key", "node"),
+        b_bands,
+        a_bands,
         a_assigns,
     )
     merged = merge_assignment_tables(a_assigns, new_assign, old_updates)

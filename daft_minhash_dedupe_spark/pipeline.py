@@ -64,6 +64,29 @@ def prepare_web_pages(
     )
 
 
+def _python_stage_parallelism(
+    n_rows: int, default_par: int, rows_per_task: int = 200_000
+) -> int:
+    """Partition count for the CPU-heavy narrow Python stages.
+
+    Three regimes:
+    - tiny inputs clamp DOWN to ceil(rows/1000): fanning 500 docs over 32+
+      partitions spawns a Python worker per core for milliseconds of work
+      each (measured 2.6s of a 9s cold flagship run);
+    - the middle band pins to the cluster's core count (``default_par``) —
+      byte-based AQE/split sizing is wrong here (150MB of text is 3 input
+      splits but hours of per-core work);
+    - big inputs scale UP to ceil(rows/rows_per_task): capping at core count
+      put 625k docs in ONE Python task at 2x10^7 docs on 32 cores — a
+      15-minute task whose single worker crash (host OOM-kill, throttled
+      node) forfeits the whole task on retry, and at real cluster scale a
+      100-TB input needs thousands of tasks, not #cores. 200k/task keeps the
+      proven headline-shape task size (5x10^6/32 = 156k).
+    """
+    par = max(default_par, -(-n_rows // rows_per_task))
+    return max(1, min(par, -(-n_rows // 1000)))
+
+
 class MinHashDedupePipeline:
     """End-to-end near-duplicate dedup (reference parity + scale hardening)."""
 
@@ -154,17 +177,13 @@ class MinHashDedupePipeline:
         prepped = ck.stage("prepped", self.prep(df))
         id_map = prepped.select(c.index_col, "node_id").distinct()
 
-        # CPU-heavy narrow stages (regex/UDF text work) must not run at the
-        # parallelism AQE-coalesce or parquet split sizing picks for small
-        # BYTE sizes — 150MB of text is 3 input splits but hours of per-core
-        # work at scale. Pin them to the cluster's core count — but CLAMP by
-        # input rows: at tiny scale, fanning 500 docs over 32+ partitions
-        # spawns a Python worker per core for milliseconds of work each
-        # (measured 2.6s of a 9s cold flagship run). The count is a cheap job
-        # on the just-materialized stage.
+        # CPU-heavy narrow stages (regex/UDF text work) are row-count
+        # partitioned, not byte-partitioned — see _python_stage_parallelism.
+        # The count is a cheap job on the just-materialized stage.
         n_rows = prepped.count()
-        par = df.sparkSession.sparkContext.defaultParallelism
-        par = max(1, min(par, -(-n_rows // 1000)))
+        par = _python_stage_parallelism(
+            n_rows, df.sparkSession.sparkContext.defaultParallelism
+        )
 
         # normalize is its own stage boundary: chaining the NFD pandas UDF and
         # the minhash Arrow kernel inside ONE stage measured ~6× slower (two

@@ -10,6 +10,7 @@ actually present (the sandbox has none — parquet fallback in io.py).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -41,11 +42,35 @@ DEFAULT_CONFS: dict[str, str] = {
     # speculation re-runs the task and the OutputCommitCoordinator
     # deduplicates commits. Conservative multiplier/quantile so healthy
     # skewed tasks aren't double-run.
+    # CAVEAT (verified against spark-core 4.1.2 bytecode): TaskSchedulerImpl
+    # only starts the speculation scheduler when NOT in local mode, so these
+    # settings are cluster-only. In-sandbox resilience to the same hang comes
+    # from task retries instead — get_spark() rewrites bare local[N] masters
+    # to local[N,4] below, matching the cluster default spark.task.maxFailures
+    # (local mode otherwise allows exactly ONE task failure per job).
     "spark.speculation": "true",
     "spark.speculation.multiplier": "4",
     "spark.speculation.quantile": "0.9",
+    # when a Python worker dies mid-task (host OOM kill, hard fault), dump its
+    # traceback into the executor log so the retry is diagnosable
+    "spark.python.worker.faulthandler.enabled": "true",
     "spark.ui.enabled": "false",
 }
+
+
+def _with_local_task_retries(master: str, max_failures: int = 4) -> str:
+    """Rewrite ``local[N]``/``local[*]``/``local`` to ``local[N,F]``.
+
+    Local mode defaults to maxFailures=1: one Python-worker crash (a
+    throttle-window casualty on this sandbox — see BENCH/BASELINE.md §1) kills
+    the whole job, where a real cluster would retry the task up to
+    spark.task.maxFailures=4 times. Masters that already carry a failure count
+    (``local[8,2]``) and non-local masters pass through untouched.
+    """
+    m = re.fullmatch(r"local(?:\[(\*|\d+)\])?", master.strip())
+    if not m:
+        return master
+    return f"local[{m.group(1) or '*'},{max_failures}]"
 
 
 def get_spark(
@@ -54,6 +79,7 @@ def get_spark(
     extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    master = _with_local_task_retries(master)
     builder = SparkSession.builder.master(master).appName(app_name)
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)

@@ -43,3 +43,35 @@ def test_config_computes_bands():
     cfg = DedupeConfig()
     assert (cfg.B, cfg.R) == (8, 8)
     assert cfg.B * cfg.R == cfg.num_perm
+
+
+# -- task sizing / local-master resilience (round-5 20M-doc postmortem) ------
+
+
+def test_python_stage_parallelism_regimes():
+    from daft_minhash_dedupe_spark.pipeline import _python_stage_parallelism as p
+
+    # tiny: clamp down to ceil(rows/1000), floor 1
+    assert p(500, 32) == 1
+    assert p(5_000, 32) == 5
+    # middle band: pin to core count (headline shape 5M/32 stays 32)
+    assert p(100_000, 32) == 32
+    assert p(5_000_000, 32) == 32
+    # big: scale ABOVE cores so one task never holds >~200k docs
+    assert p(20_000_000, 32) == 100
+    assert p(6_400_001, 32) == 33
+    # a 100-TB-ish row count fans out to thousands of tasks
+    assert p(1_000_000_000, 32) == 5000
+
+
+def test_local_master_rewrite_adds_task_retries():
+    from daft_minhash_dedupe_spark.session import _with_local_task_retries as f
+
+    # bare local masters gain the cluster-default 4 task attempts
+    assert f("local[32]") == "local[32,4]"
+    assert f("local[*]") == "local[*,4]"
+    assert f("local") == "local[*,4]"
+    # explicit failure counts and non-local masters pass through
+    assert f("local[8,2]") == "local[8,2]"
+    assert f("spark://host:7077") == "spark://host:7077"
+    assert f("yarn") == "yarn"

@@ -65,12 +65,14 @@ def _with_local_task_retries(master: str, max_failures: int = 4) -> str:
     throttle-window casualty on this sandbox — see BENCH/BASELINE.md §1) kills
     the whole job, where a real cluster would retry the task up to
     spark.task.maxFailures=4 times. Masters that already carry a failure count
-    (``local[8,2]``) and non-local masters pass through untouched.
+    (``local[8,2]``) and non-local masters pass through untouched. Bare
+    ``local`` means ONE thread in Spark, so it rewrites to ``local[1,4]`` —
+    preserving parallelism, only adding retries.
     """
     m = re.fullmatch(r"local(?:\[(\*|\d+)\])?", master.strip())
     if not m:
         return master
-    return f"local[{m.group(1) or '*'},{max_failures}]"
+    return f"local[{m.group(1) or '1'},{max_failures}]"
 
 
 def get_spark(

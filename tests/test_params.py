@@ -70,7 +70,8 @@ def test_local_master_rewrite_adds_task_retries():
     # bare local masters gain the cluster-default 4 task attempts
     assert f("local[32]") == "local[32,4]"
     assert f("local[*]") == "local[*,4]"
-    assert f("local") == "local[*,4]"
+    # bare "local" is ONE thread in Spark — keep parallelism, add retries
+    assert f("local") == "local[1,4]"
     # explicit failure counts and non-local masters pass through
     assert f("local[8,2]") == "local[8,2]"
     assert f("spark://host:7077") == "spark://host:7077"

@@ -1368,17 +1368,64 @@ def _q_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with exhaustive probing (n_probe = n_lists): exercises the
-    argmax-dot coarse-assignment expression and the list-pruned scan while
-    staying exactly equal to brute-force top-k — hence SQL-adjudicable."""
-    from daft_minhash_dedupe_spark.extras.embedding_ann import ann_topk_ivf
+def _q_semantic_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table, augmented
+    with 50 first-coordinate-perturbed near-copies (cosine ≈ 0.999 to their
+    originals but a genuinely different direction, so the paper's
+    keep-lowest-centroid-similarity ordering is exercised, not just the id
+    tie-break). Fully adjudicable: the deterministic centroid matrix inlines
+    into the DuckDB oracle as literals."""
+    from daft_minhash_dedupe_spark.extras.semdedup import semdedup
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    query = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return ann_topk_ivf(
-        emb, [float(x) for x in query], k=10, n_lists=16, n_probe=16
-    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("embedding"))
+    pert = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) + F.lit(0.3)),
+            F.slice(v, 2, 63),
+        ).alias("embedding"),
+    )
+    return semdedup(base.unionByName(pert), tau=0.9, n_lists=16, seed=7)
+
+
+def _semdedup_oracle_sql() -> str:
+    from daft_minhash_dedupe_spark.extras.embedding_ann import ivf_centroids
+    from daft_minhash_dedupe_spark.extras.semdedup import (
+        semdedup_centroid_sql_literal,
+    )
+
+    cent = semdedup_centroid_sql_literal(ivf_centroids(64, 16, 7))
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000, list_concat([v[1] + 0.3], v[2:64])
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+          WHERE vec_id < 50
+        ),
+        scored AS (
+          SELECT vec_id, v, list_id,
+                 round(list_inner_product(v, c)
+                       / sqrt(list_inner_product(v, v)), 4) AS cent_sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY list_inner_product(v, c) DESC,
+                                             list_id DESC) AS rn
+          FROM e CROSS JOIN {cent}
+        ),
+        a AS (SELECT vec_id, v, list_id, cent_sim FROM scored WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT x.vec_id
+          FROM a x JOIN a y ON x.list_id = y.list_id AND x.vec_id != y.vec_id
+          WHERE list_cosine_similarity(x.v, y.v) >= 0.9
+            AND (y.cent_sim < x.cent_sim
+                 OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id))
+        )
+        SELECT a.vec_id, a.list_id, a.cent_sim,
+               a.vec_id NOT IN (SELECT vec_id FROM dropped) AS is_survivor
+        FROM a
+    """
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1446,12 +1493,23 @@ def _q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_embedding_topk_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force AND IVF top-k as two arm-tagged slices of one row (the
+    round-4 packing pattern) — IVF probes every list, so both arms must
+    equal the same exact-SQL top-10; frees a driver-window slot for
+    ``semantic_dedupe`` while keeping both code paths oracle-adjudicated."""
+    from daft_minhash_dedupe_spark.extras.embedding_ann import ann_topk_ivf
+
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     query = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return brute_force_topk(emb, [float(x) for x in query], k=10).select(
-        "vec_id", F.round("cosine", 4).alias("cosine")
+    qv = [float(x) for x in query]
+    brute = brute_force_topk(emb, qv, k=10).select(
+        F.lit("brute").alias("arm"), "vec_id", F.round("cosine", 4).alias("cosine")
     )
+    ivf = ann_topk_ivf(emb, qv, k=10, n_lists=16, n_probe=16).select(
+        F.lit("ivf").alias("arm"), "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+    return brute.unionByName(ivf)
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1516,15 +1574,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_fp_stats": _q_kernel_fp_stats,
         "tiered_boundaries": _q_tiered_boundaries,
         "incremental_parity": _q_incremental_parity,
-        "ivf_topk": _q_ivf_topk,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "tpch_pricing_summary": _q_tpch_pricing,
         "customer_revenue": _q_customer_revenue,
         "customers_without_orders": _q_customers_without_orders,
         "latest_event_per_user": _q_latest_event_per_user,
         "events_agg": _q_events_agg,
-        "embedding_topk": _q_embedding_topk,
+        "embedding_topk_arms": _q_embedding_topk_arms,
         "embedding_near_dup": _q_embedding_near_dup,
+        "semantic_dedupe": _q_semantic_dedupe,
         "line_dedupe_boilerplate": _q_line_dedupe,
         "pii_redaction": _q_pii_redaction,
         # --- no_oracle rows below (rows-only adjudication; keep LAST) ---
@@ -2146,22 +2204,19 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         """,
-        "embedding_topk": """
-            SELECT vec_id,
-                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
-            FROM embeddings
-            ORDER BY cosine DESC, vec_id ASC
-            LIMIT 10
+        "embedding_topk_arms": """
+            WITH topk AS (
+              SELECT vec_id,
+                     round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+              FROM embeddings
+              ORDER BY cosine DESC, vec_id ASC
+              LIMIT 10)
+            SELECT 'brute' AS arm, vec_id, cosine FROM topk
+            UNION ALL
+            SELECT 'ivf' AS arm, vec_id, cosine FROM topk
         """,
-        "ivf_topk": """
-            SELECT vec_id,
-                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
-            FROM embeddings
-            ORDER BY cosine DESC, vec_id ASC
-            LIMIT 10
-        """,
+        "semantic_dedupe": _semdedup_oracle_sql(),
         "kernel_fp_stats": f"""
             WITH all_docs AS (
               SELECT doc_id, text FROM documents

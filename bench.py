@@ -105,6 +105,7 @@ def run_flagship(
     min_tokens: int = 80,
     max_tokens: int = 400,
     dup_rate: float = 0.0,
+    kernel: str = "arrow",
 ) -> tuple[float, int]:
     """Dedup the deterministic synthetic web corpus; returns (sec, rows_in).
 
@@ -126,7 +127,7 @@ def run_flagship(
     ).localCheckpoint(eager=True)
     rows_in = df.count()
     t0 = time.time()
-    res = MinHashDedupePipeline(DedupeConfig()).run(df)
+    res = MinHashDedupePipeline(DedupeConfig(minhash_kernel=kernel)).run(df)
     res["results"].write.format("noop").mode("overwrite").save()
     return time.time() - t0, rows_in
 
@@ -138,6 +139,7 @@ def run_tiered(
     min_tokens: int = 80,
     max_tokens: int = 400,
     dup_rate: float = 0.0,
+    kernel: str = "arrow",
 ) -> tuple[float, int]:
     """Tiered cascade (exact tier0/1b + minhash; no line tier — the synthetic
     corpus is single-line) on the same corpus run_flagship uses. The corpus
@@ -574,6 +576,14 @@ def main() -> None:
         "noise, which on this sandbox drifts ~10-15%% over a session",
     )
     ap.add_argument(
+        "--kernel",
+        choices=["arrow", "jvm"],
+        default="arrow",
+        help="--flagship-only/--scaling: signature kernel — 'arrow' (reference-parity "
+        "pandas/Arrow UDF, default) or 'jvm' (pure whole-stage-codegen "
+        "xxhash64 family, no Python worker in the stage)",
+    )
+    ap.add_argument(
         "--flagship-repeats",
         type=int,
         default=2,
@@ -593,6 +603,7 @@ def main() -> None:
                 min_tokens=args.min_tokens,
                 max_tokens=args.max_tokens,
                 dup_rate=args.dup_rate,
+                kernel=args.kernel,
             )
             runs.append(round(sec, 2))
             spark.stop()
@@ -717,6 +728,7 @@ def main() -> None:
                 min_tokens=args.min_tokens,
                 max_tokens=args.max_tokens,
                 dup_rate=args.dup_rate,
+                kernel=args.kernel,
             )
             all_runs[n].append(
                 {

@@ -249,3 +249,68 @@ def minhash_signature(col: Column, num_perm: int = 64, seed: int = 42) -> Column
         return pd.Series(list(mins))
 
     return _sig(col)
+
+
+# -- pure-JVM kernel (no Python stage) ---------------------------------------
+
+# Empty-document sentinel for the JVM hash family: the max of the family's
+# range (full signed-64 space), playing the role MAX_HASH_32 plays for the
+# 32-bit universal-hash family.
+JVM_EMPTY_SENTINEL = (1 << 63) - 1
+
+
+def minhash_signature_jvm(
+    df,
+    shingle_col: str = "shingles",
+    num_perm: int = 64,
+    seed: int = 42,
+    id_col: str = "node_id",
+    out_col: str = "min_hashes",
+):
+    """Whole-stage-codegen MinHash: NO Python worker anywhere in the stage.
+
+    ``sig_j = min over shingles h of xxhash64(h, j, seed)`` — the j-th
+    permutation is Spark's built-in xxhash64 re-mix of the shingle hash with
+    the permutation index and seed folded in (multi-column xxhash64 chains
+    the running hash through each operand, so each j yields an independent
+    well-mixed draw). A DIFFERENT hash family than the Arrow kernel's
+    universal ``(a·h+b) mod p`` — same MinHash estimator properties (the
+    probability two shingle sets share their minimum under a uniform hash is
+    their Jaccard similarity), so LSH banding and clustering behave
+    identically in distribution; planted-pair recall is pinned by test.
+
+    Physical shape: ``explode(shingles)`` → one HashAggregate keyed by
+    ``id_col`` with ``num_perm`` ``min(xxhash64(...))`` columns. Explode,
+    hash, and min all run inside whole-stage codegen with map-side partial
+    aggregation, so each map task emits ONE 8·num_perm-byte row per document
+    into the shuffle — the same volume the signature stage materializes
+    anyway. Compared to the Arrow kernel this trades the Python exchange
+    (two Arrow serialization hops + worker processes) for one doc-keyed
+    shuffle; at web scale the shuffle is the cheaper side, and the stage
+    becomes immune to Python-worker failure modes entirely.
+
+    Documents with zero shingles (empty/whitespace-only text) get the
+    all-``JVM_EMPTY_SENTINEL`` signature, mirroring the Arrow kernel's
+    all-``MAX_HASH_32`` convention.
+
+    Input df must carry (id_col, shingle_col); returns (id_col, out_col) —
+    one row per input row (explode_outer keeps empty docs).
+    """
+    sh = F.explode_outer(F.col(shingle_col)).alias("__sh")
+    exploded = df.select(id_col, sh)
+    # null __sh marks an empty shingle array: excluded from every min via the
+    # when(), leaving NULL aggregates that coalesce to the sentinel below
+    mins = [
+        F.min(
+            F.when(
+                F.col("__sh").isNotNull(),
+                F.xxhash64(F.col("__sh"), F.lit(j), F.lit(seed)),
+            )
+        ).alias(f"__m{j}")
+        for j in range(num_perm)
+    ]
+    agg = exploded.groupBy(id_col).agg(*mins)
+    sig = F.array(
+        *[F.coalesce(F.col(f"__m{j}"), F.lit(JVM_EMPTY_SENTINEL)) for j in range(num_perm)]
+    ).alias(out_col)
+    return agg.select(id_col, sig)

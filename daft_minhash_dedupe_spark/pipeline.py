@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 from daft_minhash_dedupe_spark.config import DedupeConfig
 from daft_minhash_dedupe_spark.functions.hashing import doc_id_from_url
-from daft_minhash_dedupe_spark.functions.minhash import add_shingles, minhash_signature
+from daft_minhash_dedupe_spark.functions.minhash import (
+    add_shingles,
+    minhash_signature,
+    minhash_signature_jvm,
+)
 from daft_minhash_dedupe_spark.functions.normalize import (
     normalize_dataframe,
     normalize_text,
@@ -123,22 +127,37 @@ class MinHashDedupePipeline:
     def signatures(self, df: DataFrame) -> DataFrame:
         """(index, node_id, shingles, min_hashes) — reference :218-239.
 
-        Shingle hashing is pure Catalyst; the permutation kernel is the
-        zero-copy mapInArrow operator (see functions/minhash.py)."""
+        Shingle hashing is pure Catalyst; the permutation kernel is either
+        the Arrow pandas-UDF (reference-parity default) or the pure-codegen
+        xxhash64 family (cfg.minhash_kernel — see functions/minhash.py)."""
         c = self.cfg
-        out = (
-            add_shingles(df, "content_normalized", c.ngram_size, "shingles")
-            .select(c.index_col, "node_id", "shingles")
-            .withColumn(
-                "min_hashes", minhash_signature(F.col("shingles"), c.num_perm, c.seed)
-            )
-        )
+        shingled = add_shingles(
+            df, "content_normalized", c.ngram_size, "shingles"
+        ).select(c.index_col, "node_id", "shingles")
+        out = self._attach_signatures(shingled)
         # the shingle arrays (~ngram_size × tokens × 8B/row) are only needed
         # downstream by exact-Jaccard verification — don't checkpoint them
         # otherwise (column pruning at the stage boundary)
         if not c.verify_pairs:
             out = out.drop("shingles")
         return out
+
+    def _attach_signatures(self, shingled: DataFrame) -> DataFrame:
+        """Add ``min_hashes`` to a (…, node_id, shingles) frame via the
+        configured kernel. The JVM kernel aggregates (node_id → signature)
+        and joins back only when other columns must survive."""
+        c = self.cfg
+        if c.minhash_kernel == "jvm":
+            sig = minhash_signature_jvm(
+                shingled, "shingles", c.num_perm, c.seed, id_col="node_id"
+            )
+            extra = [f for f in shingled.columns if f != "node_id"]
+            if not extra or extra == ["shingles"] and not c.verify_pairs:
+                return sig
+            return shingled.join(sig, "node_id")
+        return shingled.withColumn(
+            "min_hashes", minhash_signature(F.col("shingles"), c.num_perm, c.seed)
+        )
 
     def bands(self, df: DataFrame) -> DataFrame:
         # band_idx is already folded into band_key (functions/hashing.py:36-44)
@@ -208,11 +227,9 @@ class MinHashDedupePipeline:
             ).select("node_id", "shingles"),
             "shingled",
         )
-        sigs_df = shingled.withColumn(
-            "min_hashes", minhash_signature(F.col("shingles"), c.num_perm, c.seed)
-        )
+        sigs_df = self._attach_signatures(shingled)
         if not c.verify_pairs:
-            sigs_df = sigs_df.drop("shingles")
+            sigs_df = sigs_df.drop("shingles") if "shingles" in sigs_df.columns else sigs_df
         sigs = ck.stage("signatures", sigs_df)
         buckets = ck.stage("bands", self.bands(sigs))
         edges = ck.stage("pairs", self.candidate_edges(buckets, sigs))

@@ -33,6 +33,15 @@ def parse_args():
     p.add_argument("--threshold", type=float, default=0.7)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--algorithm", default="two_phase", choices=["two_phase", "alternating"])
+    p.add_argument(
+        "--minhash-kernel",
+        default="arrow",
+        choices=["arrow", "jvm"],
+        help="signature kernel: 'arrow' = reference-parity vectorized "
+        "pandas/Arrow UDF (default); 'jvm' = pure whole-stage-codegen "
+        "xxhash64 family — no Python worker in the stage, measured ~1.2x "
+        "faster end-to-end (BENCH/BASELINE.md 3b-2)",
+    )
     p.add_argument("--chunk-size", type=int, default=200_000)
     p.add_argument("--max-partitions", type=int, default=2048)
     p.add_argument(
@@ -259,6 +268,7 @@ def main() -> None:
         algorithm=args.algorithm,
         verify_pairs=args.verify_pairs,
         checkpoint_dir=args.checkpoint,
+        minhash_kernel=args.minhash_kernel,
     )
     if args.prior_checkpoint:
         run_incremental(spark, args, df, cfg)

@@ -149,3 +149,40 @@ def test_bench_corpus_dup_rate_knob(spark):
     a = bench_corpus(spark, 500, seed=3, dup_rate=0.2).orderBy("url").collect()
     b = bench_corpus(spark, 500, seed=3, dup_rate=0.2).orderBy("url").collect()
     assert [r["text"] for r in a] == [r["text"] for r in b]
+
+
+def test_e2e_jvm_kernel_planted_recall_and_cluster_parity(spark):
+    """The pure-codegen xxhash64 kernel must hit the same north-rule recall
+    bar as the Arrow kernel, and (being a different hash family) is also
+    checked for full cluster-partition agreement with the Arrow run on the
+    same corpus — at threshold 0.7 with 300 planted docs the two families
+    should make identical merge decisions."""
+    df, truth = generate_web_pages(spark, n_rows=300, seed=11)
+    prepped = prepare_web_pages(df)
+    cfg = DedupeConfig(
+        index_col="block_id", content_col="block_text", minhash_kernel="jvm"
+    )
+    res = MinHashDedupePipeline(cfg).run(prepped)
+    comp = {
+        r["block_id"]: r["component"]
+        for r in res["clusters"].select("block_id", "component").collect()
+    }
+    dup_pairs = truth["dup_pairs"]
+    found = sum(1 for a, b in dup_pairs if comp[a] == comp[b])
+    assert found / len(dup_pairs) >= 0.99
+    wrong = sum(1 for a, b in truth["near_miss_pairs"] if comp[a] == comp[b])
+    assert wrong == 0
+
+    # cross-family partition parity on this corpus
+    arrow_cfg = DedupeConfig(index_col="block_id", content_col="block_text")
+    arrow_res = MinHashDedupePipeline(arrow_cfg).run(prepped)
+    arrow_comp = {
+        r["block_id"]: r["component"]
+        for r in arrow_res["clusters"].select("block_id", "component").collect()
+    }
+    def partition(m):
+        groups = {}
+        for k, v in m.items():
+            groups.setdefault(v, set()).add(k)
+        return {frozenset(g) for g in groups.values()}
+    assert partition(comp) == partition(arrow_comp)

@@ -489,11 +489,12 @@ def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted structure (50 exact copies at doc_id<50, 50 shifted copies at
     50<=doc_id<100) lives below 100, so capping at 120 preserves every
     invariant while cutting the encode+decode bench mass ~40x at sf0.1.
-    Every consumer's oracle SQL carries the same `doc_id < 120` filter."""
-    return _docs(spark, sf_dir).where(F.col("doc_id") < 120)
+    Every consumer's oracle SQL carries the same `doc_id < 120` filter
+    (pinned in sync with MEDIA_DOC_CAP by tests/test_entry_contract.py)."""
+    return _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_CAP)
 
 
-MEDIA_DOC_CAP_SQL = "WHERE doc_id < 120"
+MEDIA_DOC_CAP = 120
 
 
 def _q_image_ahash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

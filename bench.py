@@ -168,6 +168,7 @@ def run_tiered(
         id_col="block_id",
         text_col="block_text",
         line_min_dup_docs=None,
+        minhash_overrides={"minhash_kernel": kernel},
         collect_metrics=False,
     )
     res["survivors"].write.format("noop").mode("overwrite").save()
@@ -544,7 +545,12 @@ def main() -> None:
         help="streaming near-dup suppression: per-micro-batch cost flatness "
         "as persisted state accumulates (O(batch) evidence)",
     )
-    ap.add_argument("--docs", type=int, default=int(os.environ.get("BENCH_DOCS", "20000")))
+    ap.add_argument(
+        "--docs",
+        type=int,
+        default=None,
+        help="corpus size (default 20000; --cc-stress defaults to 1000000)",
+    )
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument(
         "--flagship-only",
@@ -579,7 +585,7 @@ def main() -> None:
         "--kernel",
         choices=["arrow", "jvm"],
         default="arrow",
-        help="--flagship-only/--scaling: signature kernel — 'arrow' (reference-parity "
+        help="--flagship-only/--scaling/--tiered: signature kernel — 'arrow' (reference-parity "
         "pandas/Arrow UDF, default) or 'jvm' (pure whole-stage-codegen "
         "xxhash64 family, no Python worker in the stage)",
     )
@@ -591,6 +597,9 @@ def main() -> None:
         "(the rest of the sweep runs once)",
     )
     args = ap.parse_args()
+    docs_explicit = args.docs is not None or "BENCH_DOCS" in os.environ
+    if args.docs is None:
+        args.docs = int(os.environ.get("BENCH_DOCS", "20000"))
 
     if args.flagship_only:
         probe_start = host_probe()
@@ -650,6 +659,7 @@ def main() -> None:
                     min_tokens=args.min_tokens,
                     max_tokens=args.max_tokens,
                     dup_rate=args.dup_rate,
+                    kernel=args.kernel,
                 )
                 runs[arm].append(round(sec, 2))
                 spark.stop()
@@ -679,7 +689,7 @@ def main() -> None:
 
     if args.cc_stress:
         spark = _fresh_spark(CPUS)
-        n = args.docs if args.docs != 20000 else 1_000_000
+        n = args.docs if docs_explicit else 1_000_000
         print(json.dumps(run_cc_stress(spark, n_nodes=n)))
         spark.stop()
         return

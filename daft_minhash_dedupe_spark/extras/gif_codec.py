@@ -36,7 +36,11 @@ import struct
 
 import numpy as np
 
-from daft_minhash_dedupe_spark.extras._codec_util import check_dims, loud_decoder
+from daft_minhash_dedupe_spark.extras._codec_util import (
+    MAX_PIXELS,
+    check_dims,
+    loud_decoder,
+)
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
@@ -195,6 +199,21 @@ def gif_frames(payload: bytes) -> list[tuple[np.ndarray, int]]:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         left, top, fw, fh, fpacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
         pos += 9
+        # the logical-screen check alone doesn't bound allocations: per-frame
+        # dims drive the LZW output list and each presented frame copies the
+        # whole canvas, so a tiny crafted payload with huge/many frame blocks
+        # must be rejected here, before decode
+        check_dims(fw, fh, "GIF frame")
+        if left + fw > w or top + fh > h:
+            raise ValueError(
+                f"GIF frame rect {left},{top}+{fw}x{fh} exceeds "
+                f"{w}x{h} logical screen"
+            )
+        if (len(frames) + 1) * w * h > 4 * MAX_PIXELS:
+            raise ValueError(
+                "GIF animation exceeds total presented-pixel budget "
+                f"({len(frames) + 1} frames x {w}x{h} canvas)"
+            )
         pal = global_pal
         if fpacked & 0x80:
             n = 2 << (fpacked & 7)

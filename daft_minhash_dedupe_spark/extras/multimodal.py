@@ -176,7 +176,10 @@ def _native_image_decoder():
                 from PIL import Image
 
                 with Image.open(io.BytesIO(payload)) as im:
-                    if im.mode not in ("L", "RGB"):
+                    # channel-shape parity with the in-tree codecs: keep
+                    # grayscale/LA/RGB/RGBA native widths (PNG color types
+                    # 0/4/2/6), resolve palettes to RGB (type 3 / GIF)
+                    if im.mode not in ("L", "LA", "RGB", "RGBA"):
                         im = im.convert("RGB")
                     arr = np.asarray(im, dtype=np.uint8)
                 return arr[:, :, None] if arr.ndim == 2 else arr
@@ -197,9 +200,13 @@ def decode_image_real(payload: bytes) -> np.ndarray:
     GIF (LZW + palette, extras/gif_codec.py). A native-path decode failure
     falls back to the in-tree codec rather than erroring, so a Pillow
     build-gap (e.g. missing optional plugin) never changes results — only
-    speed. Progressive/arithmetic JPEG still raises on the in-tree path
-    (inside decode_jpeg). The mapInPandas plumbing below is agnostic to
-    which decoder is plugged in."""
+    speed — for the shared-support set (8-bit gray/LA/RGB/RGBA/palette,
+    baseline JPEG; channel shapes match the in-tree codecs by construction).
+    Formats the in-tree codecs gate (progressive JPEG, 16-bit, Adam7
+    interlace) DO decode on the native path instead of routing through
+    ``on_error`` — a deliberate capability upgrade on real clusters, not a
+    parity bug. The mapInPandas plumbing below is agnostic to which decoder
+    is plugged in."""
     if payload.startswith((b"P6", b"P5")):
         return decode_ppm(payload)
     compressed = payload.startswith(

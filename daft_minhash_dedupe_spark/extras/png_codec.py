@@ -153,11 +153,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     stride = width * ch
     if not idat:
         raise ValueError("PNG has no IDAT data")
+    expected = height * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: a deflate bomb (tiny IHDR, huge stream — can carry
+        # valid CRCs) must not materialize past the declared pixel size, so
+        # cap the inflation at expected+1 and reject any overrun
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"PNG IDAT deflate stream corrupt: {e}") from e
-    if len(raw) != height * (stride + 1):
+    if len(raw) != expected or d.unconsumed_tail or (
+        d.decompress(b"", 1) if not d.eof else b""
+    ):
         raise ValueError("PNG pixel stream length mismatch")
     bpp = ch
     out = np.empty((height, stride), dtype=np.uint8)

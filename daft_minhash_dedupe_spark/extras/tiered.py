@@ -99,6 +99,12 @@ def tiered_dedupe(
     # input never fits the storage pool and must stream straight from the
     # source scan into the first (shrinking) tier. Measured at 2M short
     # blocks, dropping it cut the cascade's fixed cost materially (round 5).
+    # The trade: tier 0 evaluates this lineage 2-3x (exact_dedupe reads its
+    # input for both the digest agg and the keep semi-join; collect_metrics
+    # adds a docs_in count) — cheap column-pruned scans for a stable source,
+    # but the input MUST be deterministic across re-evaluations. A
+    # nondeterministic frame (sample(), shuffling limit, changing view)
+    # must be checkpointed by the caller first.
     cur = df.select(id_col, text_col)
 
     # tier 0: exact

@@ -294,7 +294,13 @@ def minhash_signature_jvm(
     all-``MAX_HASH_32`` convention.
 
     Input df must carry (id_col, shingle_col); returns (id_col, out_col) —
-    one row per input row (explode_outer keeps empty docs).
+    one row per DISTINCT id (explode_outer keeps empty docs). ``id_col``
+    must be a per-row unique key: rows sharing an id collapse into one
+    signature over the UNION of their shingle sets (a groupBy, unlike the
+    Arrow kernel's per-row map). The pipeline satisfies this by
+    construction — node_id is the xxhash64 of the unique block key — but
+    direct callers with duplicate ids get merged signatures, not per-row
+    ones.
     """
     sh = F.explode_outer(F.col(shingle_col)).alias("__sh")
     exploded = df.select(id_col, sh)

@@ -99,8 +99,16 @@ def bench_corpus(
             "noisy", in_family & (F.pmod(F.col("id"), F.lit(4)) != 1)
         )
         .withColumn(
+            # length must be a pure function of template (like the token
+            # stream) or re-crawls aren't verbatim: keying the hot special
+            # case on template==0 rather than is_hot makes a hot-targeted
+            # re-crawl byte-identical to the hot rows instead of a
+            # prefix/extension of their stream
             "length",
-            F.when(is_hot, F.lit(max(min(120, max_tokens), min_tokens))).otherwise(
+            F.when(
+                F.lit(hot_size > 0) & (F.col("template") == 0),
+                F.lit(max(min(120, max_tokens), min_tokens)),
+            ).otherwise(
                 F.pmod(
                     F.xxhash64(F.lit(seed), F.col("template"), F.lit("len")),
                     F.lit(max_tokens - min_tokens + 1),

@@ -70,7 +70,9 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "quiet_window_found": waited[-1]["dram_gbps"] >= args.dram_floor,
+                # must mirror the full wait-loop condition — reporting the
+                # DRAM floor alone would mark a syscall-storm launch "quiet"
+                "quiet_window_found": quiet,
                 "probes_while_waiting": waited,
                 "launching": ["python", "bench.py", *bench_args],
             }

@@ -136,3 +136,18 @@ def test_oracle_rows_fit_driver_adjudication_window():
     assert len(o) <= 50
     assert [k for k in q[50:] if k in o] == []
     assert [k for k in q[:len(o)] if k not in o] == []
+
+
+def test_media_doc_cap_in_sync_with_oracles():
+    """_media_docs filters Spark-side at MEDIA_DOC_CAP; the media oracles
+    hand-write the same literal in SQL. Changing the cap in one place but
+    not the other would silently compare different doc populations."""
+    import re
+
+    caps = [
+        int(m)
+        for sql in entry_mod.oracle_sql().values()
+        for m in re.findall(r"doc_id < (\d+)", sql)
+        if int(m) > 100  # below 100 = planted-structure slices, not the cap
+    ]
+    assert caps and all(c == entry_mod.MEDIA_DOC_CAP for c in caps)

@@ -2133,6 +2133,47 @@ def test_png_loud_value_errors_on_missing_idat_and_bad_streams():
         decode_png(bytes(png))
 
 
+def test_png_deflate_bomb_rejected_without_materializing():
+    """A PNG whose IHDR declares 1x1 (passing check_dims, valid CRCs) but
+    whose IDAT inflates to megabytes must be rejected by the BOUNDED inflate
+    — the decompressobj cap stops at expected+1 bytes, so the bomb's
+    expansion never allocates."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from daft_minhash_dedupe_spark.extras.png_codec import _SIG, _chunk, decode_png
+
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+    bomb = _chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))  # ~10KB payload
+    with _pytest.raises(ValueError, match="length mismatch"):
+        decode_png(_SIG + ihdr + bomb + _chunk(b"IEND", b""))
+
+
+def test_gif_frame_descriptor_bombs_rejected():
+    """Frame descriptors are guarded like the logical screen: huge per-frame
+    dims and frames overflowing the canvas both raise ValueError before any
+    LZW decode or canvas allocation."""
+    import struct
+
+    import pytest as _pytest
+
+    from daft_minhash_dedupe_spark.extras.gif_codec import decode_gif
+
+    def gif(screen_w, screen_h, left, top, fw, fh):
+        head = b"GIF89a" + struct.pack("<HHBBB", screen_w, screen_h, 0x80, 0, 0)
+        pal = b"\x00\x00\x00\xff\xff\xff"  # 2-entry global palette
+        desc = b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        lzw = b"\x02\x02\x44\x01\x00"  # mcs=2 + one tiny sub-block
+        return head + pal + desc + lzw + b"\x3b"
+
+    with _pytest.raises(ValueError, match="GIF frame"):
+        decode_gif(gif(10, 10, 0, 0, 60000, 60000))
+    with _pytest.raises(ValueError, match="exceeds"):
+        decode_gif(gif(10, 10, 5, 5, 8, 8))
+
+
 def _fake_pil(monkeypatch, open_fn):
     """Install a fake PIL package (Image.open = open_fn) and reset the
     multimodal native-decoder cache so the next decode re-resolves. Pillow
@@ -2159,6 +2200,7 @@ class _FakePILImage:
     def __init__(self, arr, mode="RGB"):
         self._arr = arr
         self.mode = mode
+        self.converted_to = None
 
     def __enter__(self):
         return self
@@ -2168,6 +2210,12 @@ class _FakePILImage:
 
     def __array__(self, dtype=None, copy=None):
         return self._arr.astype(dtype) if dtype is not None else self._arr
+
+    def convert(self, mode):
+        assert mode == "RGB"
+        out = _FakePILImage(self._arr[:, :, :3], mode)
+        self.converted_to = mode
+        return out
 
 
 def test_native_image_decoder_preferred_when_present(monkeypatch):
@@ -2240,6 +2288,32 @@ def test_native_image_decoder_same_ahash_both_paths(monkeypatch):
     _fake_pil(monkeypatch, broken_open)
     got = [multimodal.ahash64(multimodal.decode_image_real(p)) for p in payloads]
     assert got == want
+
+
+def test_native_image_decoder_channel_shape_parity(monkeypatch):
+    """The native path preserves the in-tree channel widths: RGBA (PNG color
+    type 6) stays 4-channel and LA (type 4) stays 2-channel instead of being
+    flattened to RGB — otherwise the same corpus would fingerprint
+    differently on a Pillow cluster vs the in-tree fallback."""
+    from daft_minhash_dedupe_spark.extras import multimodal
+    from daft_minhash_dedupe_spark.extras.png_codec import decode_png, encode_png
+
+    rng = np.random.RandomState(51)
+    rgba = rng.randint(0, 256, (8, 8, 4), dtype=np.uint8)
+    payload = encode_png(rgba)
+    assert decode_png(payload).shape == (8, 8, 4)  # in-tree keeps alpha
+
+    opened = []
+
+    def fake_open(bio):
+        im = _FakePILImage(decode_png(bio.read()), mode="RGBA")
+        opened.append(im)
+        return im
+
+    _fake_pil(monkeypatch, fake_open)
+    out = multimodal.decode_image_real(payload)
+    assert out.shape == (8, 8, 4) and opened[0].converted_to is None
+    assert np.array_equal(out, rgba)
 
 
 def test_codec_fuzz_error_contract_all_decoders():

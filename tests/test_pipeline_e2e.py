@@ -151,6 +151,20 @@ def test_bench_corpus_dup_rate_knob(spark):
     assert [r["text"] for r in a] == [r["text"] for r in b]
 
 
+def test_dup_rate_hot_target_recrawls_are_verbatim(spark):
+    """Re-crawls that resolve to the hot family must byte-match the hot rows
+    (length is a pure function of template, including the hot special case) —
+    so the hot text's multiplicity exceeds hot_size once dup_rate > 0."""
+    from pyspark.sql import functions as F
+
+    from daft_minhash_dedupe_spark.sources.synthetic_spark import bench_corpus
+
+    df = bench_corpus(spark, 2000, seed=5, dup_rate=0.3, min_tokens=5, max_tokens=40)
+    hot_text = df.where(F.col("url").endswith("/p/0")).first()["text"]
+    n_hot_text = df.where(F.col("text") == hot_text).count()
+    assert n_hot_text > 100  # hot_size default; strict > means recrawls joined
+
+
 def test_e2e_jvm_kernel_planted_recall_and_cluster_parity(spark):
     """The pure-codegen xxhash64 kernel must hit the same north-rule recall
     bar as the Arrow kernel, and (being a different hash family) is also

@@ -38,9 +38,10 @@ def parse_args():
         default="arrow",
         choices=["arrow", "jvm"],
         help="signature kernel: 'arrow' = reference-parity vectorized "
-        "pandas/Arrow UDF (default); 'jvm' = pure whole-stage-codegen "
-        "xxhash64 family — no Python worker in the stage, measured ~1.2x "
-        "faster end-to-end (BENCH/BASELINE.md 3b-2)",
+        "pandas/Arrow UDF (default, fastest at headline scale); 'jvm' = "
+        "pure whole-stage-codegen xxhash64 family — no Python worker in "
+        "the stage; shape-dependent speed (1.2x faster at 1M blocks, "
+        "0.8x at 5M — BENCH/BASELINE.md 3b-2)",
     )
     p.add_argument("--chunk-size", type=int, default=200_000)
     p.add_argument("--max-partitions", type=int, default=2048)

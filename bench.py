@@ -583,11 +583,12 @@ def main() -> None:
     )
     ap.add_argument(
         "--kernel",
-        choices=["arrow", "jvm"],
+        choices=["arrow", "jvm", "oph"],
         default="arrow",
         help="--flagship-only/--scaling/--tiered: signature kernel — 'arrow' (reference-parity "
         "pandas/Arrow UDF, default) or 'jvm' (pure whole-stage-codegen "
-        "xxhash64 family, no Python worker in the stage)",
+        "xxhash64 family, no Python worker in the stage) or 'oph' "
+        "(one-permutation hashing + optimal densification)",
     )
     ap.add_argument(
         "--flagship-repeats",

@@ -320,3 +320,108 @@ def minhash_signature_jvm(
         *[F.coalesce(F.col(f"__m{j}"), F.lit(JVM_EMPTY_SENTINEL)) for j in range(num_perm)]
     ).alias(out_col)
     return agg.select(id_col, sig)
+
+
+# -- one-permutation hashing kernel (OPH + optimal densification) ------------
+
+# splitmix64 constants (public domain, Steele et al. / Vigna)
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+_SM_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+# empty-bin sentinel: strictly above the 32-bit value domain, so detection
+# is exact (a real min can never equal it)
+_OPH_EMPTY = np.uint64(1) << np.uint64(33)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 wraparound is the intent)."""
+    with np.errstate(over="ignore"):
+        x = x + _SM_GOLDEN
+        x = (x ^ (x >> np.uint64(30))) * _SM_C1
+        x = (x ^ (x >> np.uint64(27))) * _SM_C2
+        return x ^ (x >> np.uint64(31))
+
+
+def _oph_signatures_flat(
+    values: np.ndarray, offsets: np.ndarray, num_perm: int, seed: int
+) -> np.ndarray:
+    """One-permutation MinHash (Li et al., NIPS 2012) with optimal
+    densification (Shrivastava, ICML 2017) on the same flattened batch
+    layout ``_min_signatures_flat`` uses.
+
+    Each shingle is hashed ONCE (splitmix64 remix of its xxhash64, seed
+    folded in) and routed to bin ``u % num_perm``; ``sig[j]`` is the bin
+    minimum — O(total_shingles) work vs the permutation kernel's
+    O(total_shingles × num_perm). Empty bins are filled by probing bins in
+    the order ``h(j, attempt)`` until an ORIGINALLY-occupied bin is hit;
+    the probe sequence depends only on (bin, attempt, seed), so identical
+    shingle sets always densify to identical signatures and the
+    position-collision probability stays an unbiased Jaccard estimator
+    (variance rises as docs get shorter than ~num_perm shingles — see the
+    kernel-choice notes in config.py).
+
+    Values live in [0, 2^32) like the universal-hash family; documents with
+    zero shingles get the all-``MAX_HASH_32`` sentinel signature.
+    """
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    seed_mix = _splitmix64(np.uint64(np.uint64(seed) & np.uint64(0xFFFFFFFFFFFFFFFF)))
+    u = _splitmix64(values.astype(np.uint64) ^ seed_mix)
+    bins = u % np.uint64(num_perm)
+    vals = u & np.uint64(MAX_HASH_32)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    flat = row_of * num_perm + bins.astype(np.int64)
+    sig = np.full(n * num_perm, _OPH_EMPTY, dtype=np.uint64)
+    np.minimum.at(sig, flat, vals)
+    sig = sig.reshape(n, num_perm)
+    occupied = sig != _OPH_EMPTY
+    no_shingles = lens == 0
+    rows, cols = np.nonzero(~occupied & ~no_shingles[:, None])
+    t = 0
+    # probe only ORIGINALLY-occupied bins (frozen `occupied`): fills write
+    # exclusively into originally-empty slots, so reading sig[occupied]
+    # during the loop always reads true bin minima, never a densified copy
+    while rows.size:
+        with np.errstate(over="ignore"):
+            probe_key = (
+                cols.astype(np.uint64) * _SM_C1
+                ^ np.uint64(t + 1) * _SM_C2
+                ^ seed_mix
+            )
+        p = (_splitmix64(probe_key) % np.uint64(num_perm)).astype(np.int64)
+        hit = occupied[rows, p]
+        sig[rows[hit], cols[hit]] = sig[rows[hit], p[hit]]
+        rows, cols = rows[~hit], cols[~hit]
+        t += 1
+        if t > 100 * num_perm:  # unreachable with >=1 occupied bin
+            raise AssertionError("OPH densification failed to converge")
+    sig[no_shingles] = np.uint64(MAX_HASH_32)
+    return sig.astype(np.int64)
+
+
+def minhash_signature_oph(col: Column, num_perm: int = 64, seed: int = 42) -> Column:
+    """``array<bigint>`` OPH signature of a distinct-shingle-hash array
+    column — same schema/value-domain/empty-doc convention as
+    ``minhash_signature``, ~num_perm× less hash arithmetic per shingle.
+    A different hash family: bit-different signatures, same estimator in
+    distribution (planted recall pinned by test for the pipeline path).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(hashes: pd.Series) -> pd.Series:
+        n = len(hashes)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        if offsets[-1] > 0:
+            values = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hashes if len(h)]
+            )
+        else:
+            values = np.empty(0, dtype=np.int64)
+        sigs = _oph_signatures_flat(values, offsets, num_perm, seed)
+        return pd.Series(list(sigs))
+
+    return _sig(col)

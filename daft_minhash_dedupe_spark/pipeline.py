@@ -29,6 +29,7 @@ from daft_minhash_dedupe_spark.functions.minhash import (
     add_shingles,
     minhash_signature,
     minhash_signature_jvm,
+    minhash_signature_oph,
 )
 from daft_minhash_dedupe_spark.functions.normalize import (
     normalize_dataframe,
@@ -155,8 +156,11 @@ class MinHashDedupePipeline:
             if not extra or extra == ["shingles"] and not c.verify_pairs:
                 return sig
             return shingled.join(sig, "node_id")
+        kernel = (
+            minhash_signature_oph if c.minhash_kernel == "oph" else minhash_signature
+        )
         return shingled.withColumn(
-            "min_hashes", minhash_signature(F.col("shingles"), c.num_perm, c.seed)
+            "min_hashes", kernel(F.col("shingles"), c.num_perm, c.seed)
         )
 
     def bands(self, df: DataFrame) -> DataFrame:

@@ -36,12 +36,13 @@ def parse_args():
     p.add_argument(
         "--minhash-kernel",
         default="arrow",
-        choices=["arrow", "jvm"],
+        choices=["arrow", "jvm", "oph"],
         help="signature kernel: 'arrow' = reference-parity vectorized "
         "pandas/Arrow UDF (default, fastest at headline scale); 'jvm' = "
         "pure whole-stage-codegen xxhash64 family — no Python worker in "
         "the stage; shape-dependent speed (1.2x faster at 1M blocks, "
-        "0.8x at 5M — BENCH/BASELINE.md 3b-2)",
+        "0.8x at 5M — BENCH/BASELINE.md 3b-2); 'oph' = one-permutation "
+        "hashing + optimal densification (one hash per shingle)",
     )
     p.add_argument("--chunk-size", type=int, default=200_000)
     p.add_argument("--max-partitions", type=int, default=2048)

@@ -193,3 +193,63 @@ def test_jvm_kernel_jaccard_estimate_tracks_true_jaccard(spark):
     true_j = len(sh1 & sh2) / len(sh1 | sh2)
     assert abs(est - true_j) < 0.12
     assert true_j > 0.9
+
+
+# -- OPH kernel (minhash_signature_oph) --------------------------------------
+
+
+def _oph_sig_df(spark, texts, num_perm=64, ngram=5, seed=42):
+    from daft_minhash_dedupe_spark.functions.minhash import minhash_signature_oph
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "node_id long, t string"
+    )
+    return df.select(
+        "node_id",
+        minhash_signature_oph(
+            shingle_hashes(F.col("t"), ngram), num_perm, seed
+        ).alias("min_hashes"),
+    )
+
+
+def test_oph_kernel_shape_domain_and_empty_sentinel(spark):
+    texts = ["hello world foo bar baz qux", "", "one two three four five six"]
+    rows = _oph_sig_df(spark, texts, num_perm=32).orderBy("node_id").collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert len(r["min_hashes"]) == 32
+        assert all(0 <= v <= MAX_HASH_32 for v in r["min_hashes"])
+    assert rows[1]["min_hashes"] == [MAX_HASH_32] * 32  # empty doc convention
+
+
+def test_oph_kernel_deterministic_and_batch_independent(spark):
+    texts = [" ".join(f"w{(i * 7 + j) % 50}" for j in range(40)) for i in range(100)]
+    a = {r["node_id"]: tuple(r["min_hashes"]) for r in _oph_sig_df(spark, texts).collect()}
+    b = {
+        r["node_id"]: tuple(r["min_hashes"])
+        for r in _oph_sig_df(spark, texts).repartition(7).collect()
+    }
+    assert a == b
+    # identical texts -> identical signatures (densification included)
+    t = " ".join(f"w{i}" for i in range(10))  # short doc => many empty bins
+    rows = _oph_sig_df(spark, [t, t]).collect()
+    assert rows[0]["min_hashes"] == rows[1]["min_hashes"]
+
+
+def test_oph_kernel_jaccard_estimate_tracks_true_jaccard(spark):
+    """OPH + optimal densification stays an (approximately) unbiased Jaccard
+    estimator; tolerance is looser than the permutation kernels' because one
+    permutation re-uses randomness across bins."""
+    base = [f"tok{i:04d}" for i in range(300)]
+    edited = list(base)
+    edited[50] = "zzz"
+    edited[150] = "yyy"
+    t1, t2 = " ".join(base), " ".join(edited)
+    rows = _oph_sig_df(spark, [t1, t2], num_perm=256).orderBy("node_id").collect()
+    s1 = np.array(rows[0]["min_hashes"])
+    s2 = np.array(rows[1]["min_hashes"])
+    est = float((s1 == s2).mean())
+    sh1, sh2 = set(oracle.shingle_set(t1, 5)), set(oracle.shingle_set(t2, 5))
+    true_j = len(sh1 & sh2) / len(sh1 | sh2)
+    assert true_j > 0.9
+    assert abs(est - true_j) < 0.15

@@ -200,3 +200,26 @@ def test_e2e_jvm_kernel_planted_recall_and_cluster_parity(spark):
             groups.setdefault(v, set()).add(k)
         return {frozenset(g) for g in groups.values()}
     assert partition(comp) == partition(arrow_comp)
+
+
+def test_e2e_oph_kernel_planted_recall(spark):
+    """The OPH kernel must hit the same north-rule recall bar on the planted
+    corpus (docs at the default 80-400 token shape keep bin occupancy high,
+    where OPH variance is modest). Partition parity with the arrow family is
+    NOT asserted — with reused randomness a borderline pair may band
+    differently; the planted structure itself must be fully recovered."""
+    df, truth = generate_web_pages(spark, n_rows=300, seed=11)
+    prepped = prepare_web_pages(df)
+    cfg = DedupeConfig(
+        index_col="block_id", content_col="block_text", minhash_kernel="oph"
+    )
+    res = MinHashDedupePipeline(cfg).run(prepped)
+    comp = {
+        r["block_id"]: r["component"]
+        for r in res["clusters"].select("block_id", "component").collect()
+    }
+    dup_pairs = truth["dup_pairs"]
+    found = sum(1 for a, b in dup_pairs if comp[a] == comp[b])
+    assert found / len(dup_pairs) >= 0.99
+    wrong = sum(1 for a, b in truth["near_miss_pairs"] if comp[a] == comp[b])
+    assert wrong == 0

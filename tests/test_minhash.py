@@ -253,3 +253,30 @@ def test_oph_kernel_jaccard_estimate_tracks_true_jaccard(spark):
     true_j = len(sh1 & sh2) / len(sh1 | sh2)
     assert true_j > 0.9
     assert abs(est - true_j) < 0.15
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    num_perm=st.sampled_from([16, 64]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_oph_flat_kernel_matches_pure_python_oracle(rows, num_perm, seed):
+    """Bit-pin the vectorized OPH kernel (numpy splitmix64 + minimum.at +
+    probe-loop densification) against the dependency-free row-at-a-time
+    reimplementation in oracle.py — any vectorization bug (dtype overflow,
+    probe order, densified-bin borrowing) shows up as a mismatch."""
+    from daft_minhash_dedupe_spark.functions.minhash import _oph_signatures_flat
+
+    lens = [len(r) for r in rows]
+    offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    values = np.array([v for r in rows for v in r], dtype=np.int64)
+    got = _oph_signatures_flat(values, offsets, num_perm, seed)
+    for i, r in enumerate(rows):
+        want = oracle.oph_signature(r, num_perm, seed)
+        assert got[i].tolist() == want, (i, r)

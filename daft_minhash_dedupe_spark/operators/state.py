@@ -51,6 +51,10 @@ _META = "_META.json"
 _META_KEYS = (
     "num_perm", "ngram_size", "threshold", "seed", "B", "R",
     "remove_punct", "lowercase", "nfd_unicode", "white_space", "verify_pairs",
+    # different signature families (arrow/jvm/oph) produce incomparable band
+    # keys — folding a batch signed with one family into state built with
+    # another silently under-merges (no cross-batch bucket ever matches)
+    "minhash_kernel",
 )
 
 BANDS_COLS = ("band_key", "node")

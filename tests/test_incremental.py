@@ -234,6 +234,10 @@ def test_state_meta_guards(spark, tmp_path):
         state.validate_config(DedupeConfig(ngram_size=3))
     with pytest.raises(ValueError, match="different"):
         state.validate_config(DedupeConfig(seed=7))
+    # signature-family mismatch -> refuse (band keys incomparable across
+    # kernels: a fold would silently under-merge, never matching old buckets)
+    with pytest.raises(ValueError, match="different"):
+        state.validate_config(DedupeConfig(minhash_kernel="oph"))
     # matching config passes
     state.validate_config(DedupeConfig())
 

@@ -45,6 +45,18 @@ def test_config_computes_bands():
     assert cfg.B * cfg.R == cfg.num_perm
 
 
+def test_config_accepts_inexact_band_products():
+    # Most (threshold, num_perm) combos optimize to B*R < num_perm —
+    # banding slices only the first B*R signature values, so these must
+    # construct (regression: __post_init__ used to demand equality, which
+    # rejected e.g. `main.py --threshold 0.8` before any work ran).
+    for threshold, num_perm in [(0.8, 64), (0.5, 64), (0.7, 128), (0.9, 256)]:
+        cfg = DedupeConfig(threshold=threshold, num_perm=num_perm)
+        assert 1 <= cfg.B and 1 <= cfg.R
+        assert cfg.B * cfg.R <= cfg.num_perm
+    assert DedupeConfig(threshold=0.8).B * DedupeConfig(threshold=0.8).R == 55
+
+
 # -- task sizing / local-master resilience (round-5 20M-doc postmortem) ------
 
 

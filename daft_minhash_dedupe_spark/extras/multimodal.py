@@ -248,6 +248,18 @@ def decode_image_stub(payload: bytes, n_features: int = 8) -> np.ndarray:
     return hist / denom
 
 
+def pixels_to_features(arr: np.ndarray, n_features: int = 8) -> np.ndarray:
+    """Reduce a decoded (H, W, C) uint8 pixel array to a length-``n_features``
+    float32 vector: normalized luminance histogram (mean over channels,
+    ``n_features`` equal-width bins over [0, 256)). Keeps the real-decoder
+    path's output shape identical to the stub's, so FEATURE_SCHEMA's
+    ``feature array<float>`` holds for both."""
+    gray = np.asarray(arr, dtype=np.float32).mean(axis=2).reshape(-1)
+    hist, _ = np.histogram(gray, bins=n_features, range=(0.0, 256.0))
+    denom = float(gray.size) if gray.size else 1.0
+    return (hist / denom).astype(np.float32)
+
+
 def extract_media_features(
     df: DataFrame, n_features: int = 8, use_real_decoder: bool = False
 ) -> DataFrame:
@@ -255,12 +267,21 @@ def extract_media_features(
 
     Batch shape: the iterator yields pandas DataFrames whose ``payload``
     column holds raw bytes; output conforms to FEATURE_SCHEMA. Partitioning
-    is preserved (narrow op — no shuffle)."""
-    decoder = decode_image_real if use_real_decoder else decode_image_stub
+    is preserved (narrow op — no shuffle). With ``use_real_decoder`` the
+    payload is pixel-decoded (PPM/PNG/JPEG/GIF) and reduced to an
+    ``n_features``-bin luminance histogram; the stub derives the vector
+    from raw bytes without decoding."""
+
+    def _featurize(p: bytes) -> np.ndarray:
+        if not use_real_decoder:
+            return decode_image_stub(p, n_features)
+        if p is None:
+            return np.zeros(n_features, dtype=np.float32)
+        return pixels_to_features(decode_image_real(p), n_features)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decoder(p, n_features) if decoder is decode_image_stub else decoder(p) for p in pdf["payload"]]
+            feats = [_featurize(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

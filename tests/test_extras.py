@@ -549,6 +549,40 @@ def test_multimodal_feature_extraction(spark):
         decode_image_real(b"x")
 
 
+def test_media_features_real_decoder_flat_vectors(spark):
+    """use_real_decoder=True must emit FLAT length-n_features float vectors
+    (regression: the real path used to .tolist() the raw (H,W,C) pixel
+    array, which Arrow cannot fit into `feature array<float>`)."""
+    import numpy as np
+
+    from daft_minhash_dedupe_spark.extras.multimodal import (
+        extract_media_features,
+        pixels_to_features,
+    )
+
+    dark = np.zeros((4, 4, 3), dtype=np.uint8)
+    light = np.full((4, 4, 3), 250, dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(b"P6\n4 4\n255\n" + dark.tobytes()), "image/x-ppm", 4, 4, None),
+        (2, "image", bytearray(b"P6\n4 4\n255\n" + light.tobytes()), "image/x-ppm", 4, 4, None),
+        (3, "image", None, "image/x-ppm", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, width int, height int, duration_ms long",
+    )
+    got = {
+        r["media_id"]: r["feature"]
+        for r in extract_media_features(df, n_features=8, use_real_decoder=True).collect()
+    }
+    assert all(len(v) == 8 for v in got.values())
+    # histogram semantics: all-dark mass in bin 0, all-light mass in bin 7
+    assert got[1][0] == pytest.approx(1.0) and got[2][7] == pytest.approx(1.0)
+    assert got[3] == [0.0] * 8  # null payload -> zero vector, row kept
+    # kernel parity with the driver-side reduction
+    assert got[1] == pytest.approx(list(pixels_to_features(dark, 8)))
+
+
 # -- streaming ---------------------------------------------------------------
 
 

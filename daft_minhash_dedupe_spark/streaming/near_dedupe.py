@@ -92,16 +92,30 @@ class StreamingNearDedupe:
 
     # -- state ---------------------------------------------------------------
     def _bands_of(self, batch: DataFrame) -> DataFrame:
-        """(band_key, node, id, ts) via the batch pipeline's signature kernel."""
+        """(band_key, node, id, ts) via the batch pipeline's signature kernel.
+
+        The caller's (id_col, text_col) are aliased onto the pipeline's
+        (cfg.index_col, cfg.content_col) contract here, so a stream with
+        e.g. (doc_id, text) columns works without touching the config —
+        and a batch that happens to also carry columns named like the
+        cfg contract can't be silently deduped on the wrong column."""
         from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline
 
-        pipe = MinHashDedupePipeline(self.cfg)
-        prepped = pipe.prep(batch).localCheckpoint(eager=False)
+        c = self.cfg
+        pipe = MinHashDedupePipeline(c)
+        pipe_in = batch.select(
+            F.col(self.id_col).alias(c.index_col),
+            F.col(self.text_col).alias(c.content_col),
+        )
+        prepped = pipe.prep(pipe_in).localCheckpoint(eager=False)
         bands = pipe.bands(pipe.signatures(pipe.normalize(prepped)))
         meta = batch.select(
             F.col(self.id_col), F.col(self.ts_col).alias("_ts")
         ).join(
-            prepped.select(self.id_col, "node_id"), self.id_col
+            prepped.select(
+                F.col(c.index_col).alias(self.id_col), "node_id"
+            ),
+            self.id_col,
         )
         return bands.select("band_key", "node").join(
             meta.withColumnRenamed("node_id", "node"), "node"
@@ -136,8 +150,15 @@ class StreamingNearDedupe:
         spark = batch.sparkSession
         if batch.isEmpty():
             return
+        # Null event times cannot be placed on the horizon timeline: they
+        # can neither suppress nor be suppressed, so they pass through as
+        # survivors and never enter state (dropping them from `bands` also
+        # keeps rng non-null — an all-null-ts burst used to TypeError on
+        # int(None) and kill the whole streaming query, since foreachBatch
+        # exceptions are fatal).
         bands = (
             self._bands_of(batch)
+            .where(F.col("_ts").isNotNull())
             .withColumn("_bucket", self._bucket_of("_ts"))
             .localCheckpoint(eager=True)
         )
@@ -145,6 +166,11 @@ class StreamingNearDedupe:
         rng = bands.agg(
             F.min("_bucket").alias("mn"), F.max("_bucket").alias("mx")
         ).first()
+        if rng["mn"] is None:  # every row had a null event time
+            batch.write.mode("overwrite").parquet(
+                f"{self.survivors_dir}/batch_id={batch_id}"
+            )
+            return
 
         # history suppression: any band sighting inside [ts - horizon, ts].
         # State keeps per-(batch, band, bucket) sightings — no cross-batch

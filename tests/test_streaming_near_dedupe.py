@@ -220,3 +220,88 @@ def test_near_dedupe_expire_state_gc(spark, tmp_path):
     )
     kept = {r["block_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert kept == {"A", "B"}, kept
+
+
+def test_streaming_near_dedupe_custom_column_names(spark, tmp_path):
+    """text_col/id_col/ts_col that differ from the cfg contract must work —
+    and must win even when the frame ALSO carries columns named like the
+    cfg defaults (regression: _bands_of fed the raw batch to pipe.prep,
+    which read cfg.content_col='block_text' regardless of text_col)."""
+    from daft_minhash_dedupe_spark.streaming.near_dedupe import StreamingNearDedupe
+
+    base = _text(range(400))
+    near = _text(range(400), edit=3)
+    decoy = _text(range(2000, 2400))  # unrelated text planted in block_text
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    schema = (
+        "doc_id string, text string, event_ts timestamp, "
+        "block_id string, block_text string"
+    )
+    snd = StreamingNearDedupe(
+        DedupeConfig(),
+        state_dir=str(tmp_path / "state"),
+        survivors_dir=str(tmp_path / "out"),
+        horizon="1 hour",
+        text_col="text",
+        id_col="doc_id",
+        ts_col="event_ts",
+    )
+    # decoy block_text columns are DIFFERENT texts: if dedup ran on them,
+    # B would survive; dedup on `text` suppresses B as a near-dup of A
+    snd(
+        spark.createDataFrame(
+            [("A", base, t(1), "zA", decoy)], schema
+        ),
+        0,
+    )
+    snd(
+        spark.createDataFrame(
+            [("B", near, t(1, 30), "zB", _text(range(3000, 3400)))], schema
+        ),
+        1,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert kept == {"A"}, kept
+
+
+def test_streaming_near_dedupe_null_event_times(spark, tmp_path):
+    """An all-null event-time micro-batch must not kill the query
+    (regression: int(None) TypeError inside foreachBatch), and null-ts
+    rows mixed into a batch pass through without entering state."""
+    from daft_minhash_dedupe_spark.streaming.near_dedupe import StreamingNearDedupe
+
+    base = _text(range(400))
+    near = _text(range(400), edit=5)
+    schema = "block_id string, block_text string, warc_ts timestamp"
+    snd = StreamingNearDedupe(
+        DedupeConfig(),
+        state_dir=str(tmp_path / "state"),
+        survivors_dir=str(tmp_path / "out"),
+        horizon="1 hour",
+    )
+    # batch 0: every row has null ts -> all survive, no state written
+    snd(spark.createDataFrame([("N1", base, None), ("N2", near, None)], schema), 0)
+    # batch 1: valid ts + one null-ts row; the null row survives even
+    # though its text near-dups A (it has no place on the timeline)
+    snd(
+        spark.createDataFrame(
+            [
+                ("A", base, dt.datetime(2024, 1, 1, 1)),
+                ("N3", near, None),
+            ],
+            schema,
+        ),
+        1,
+    )
+    # batch 2: in-horizon near-dup of A -> suppressed by state
+    snd(
+        spark.createDataFrame(
+            [("B", near, dt.datetime(2024, 1, 1, 1, 30))], schema
+        ),
+        2,
+    )
+    kept = {r["block_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert kept == {"N1", "N2", "A", "N3"}, kept

@@ -43,12 +43,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
     max_posting: int | None = 1000,
 ) -> DataFrame:
-    """(u, v, jaccard) for all pairs with exact n-gram Jaccard ≥ threshold."""
+    """(u, v, jaccard) for all pairs with exact n-gram Jaccard ≥ threshold.
+
+    With ``max_posting`` pruning the reported jaccard is a LOWER bound:
+    per-doc sizes are counted over the FULL shingle sets (before pruning),
+    while hot shingles can no longer contribute to the common count — so
+    pruning can only drop borderline pairs, never promote sub-threshold
+    pairs above the bar. (Sizing after the prune would do the opposite:
+    two mostly-hot-shingle docs would have both their sizes and their
+    denominator deflated, inflating jaccard past the true value.)"""
     postings = shingle_postings(df, text_col, id_col, ngram_size)
+    sizes = postings.groupBy("doc").agg(F.count("*").alias("n_sh"))
     if max_posting is not None:
         hot = postings.groupBy("shingle").count().where(F.col("count") > max_posting)
         postings = postings.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    sizes = postings.groupBy("doc").agg(F.count("*").alias("n_sh"))
 
     a = postings.select(F.col("shingle"), F.col("doc").alias("u"))
     b = postings.select(F.col("shingle"), F.col("doc").alias("v"))

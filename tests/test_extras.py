@@ -157,6 +157,28 @@ def test_ngram_jaccard_respects_threshold(spark):
     assert ngram_jaccard_pairs(df, threshold=0.1).count() == 0
 
 
+def test_ngram_jaccard_pruning_is_lower_bound(spark):
+    # u and v share only the non-hot token "a"; their hot tokens differ.
+    # True jaccard(u, v) = |{a}| / |{hot1, a, hot2}| = 1/3. Sizing AFTER the
+    # prune would report 1/(1+1-1) = 1.0 — promoting the pair past any
+    # threshold; sizing before (the documented contract) reports the true 1/3.
+    texts = ["hot1 a", "hot2 a"] + ["hot1"] * 3 + ["hot2"] * 3
+    df = _docs(spark, texts)
+    got = {
+        (r["u"], r["v"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, ngram_size=1, threshold=0.05, max_posting=2
+        ).collect()
+    }
+    assert abs(got[(0, 1)] - 1 / 3) < 1e-6
+    promoted = (
+        ngram_jaccard_pairs(df, ngram_size=1, threshold=0.5, max_posting=2)
+        .where((F.col("u") == 0) & (F.col("v") == 1))
+        .count()
+    )
+    assert promoted == 0
+
+
 # -- embedding ANN -----------------------------------------------------------
 
 

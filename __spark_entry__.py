@@ -1736,7 +1736,16 @@ def oracle_sql() -> dict[str, str]:
                           i -> array_to_string(toks[i:i+12], ' '))) END AS wins
               FROM t),
             p AS (SELECT doc_id, unnest(wins) AS win FROM w),
-            c AS (SELECT doc_id, win FROM p WHERE doc_id >= 25),
+            sw AS (SELECT DISTINCT len(toks) AS L FROM t
+                   WHERE doc_id < 25 AND len(toks) > 0 AND len(toks) < 13),
+            xc AS (SELECT t.doc_id,
+                          unnest(list_distinct(list_transform(
+                              range(1, len(t.toks) - sw.L + 2),
+                              i -> array_to_string(t.toks[i:i+sw.L-1], ' ')))) AS win
+                   FROM t JOIN sw ON len(t.toks) > sw.L
+                   WHERE t.doc_id >= 25),
+            c AS (SELECT doc_id, win FROM p WHERE doc_id >= 25
+                  UNION ALL SELECT doc_id, win FROM xc),
             b AS (SELECT doc_id AS bench_id, win FROM p WHERE doc_id < 25)
             SELECT c.doc_id, b.bench_id, count(*) AS n_shared
             FROM c JOIN b USING (win)
@@ -1816,7 +1825,16 @@ def oracle_sql() -> dict[str, str]:
                      ELSE list_distinct(list_transform(range(1, len(toks) - 11),
                           i -> array_to_string(toks[i:i+12], ' '))) END) AS win
               FROM t WHERE doc_id < 25),
-            bad AS (SELECT DISTINCT cw.doc_id FROM cw JOIN bw USING (win))
+            sw AS (SELECT DISTINCT len(toks) AS L FROM t
+                   WHERE doc_id < 25 AND len(toks) > 0 AND len(toks) < 13),
+            cxw AS (SELECT s.doc_id,
+                           unnest(list_distinct(list_transform(
+                               range(1, len(s.toks) - sw.L + 2),
+                               i -> array_to_string(s.toks[i:i+sw.L-1], ' ')))) AS win
+                    FROM surv2 s JOIN sw ON len(s.toks) > sw.L),
+            cw2 AS (SELECT doc_id, win FROM cw
+                    UNION ALL SELECT doc_id, win FROM cxw),
+            bad AS (SELECT DISTINCT cw2.doc_id FROM cw2 JOIN bw USING (win))
             SELECT doc_id, lang, quality FROM surv2
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         """,

@@ -42,7 +42,9 @@ from daft_minhash_dedupe_spark.config import MAX_HASH_32, MERSENNE_PRIME
 _CHUNK_CELLS = 4_000_000
 
 # worker-global scratch, reused across Arrow batches (python workers are
-# long-lived under spark.python.worker.reuse): key = num_perm
+# long-lived under spark.python.worker.reuse): key = num_perm. Pinned memory
+# is bounded: every request is ≤ _CHUNK_CELLS//num_perm rows, so the buffer
+# never exceeds _CHUNK_CELLS cells = 32 MB per distinct num_perm.
 _KERNEL_BUF: dict[int, np.ndarray] = {}
 
 

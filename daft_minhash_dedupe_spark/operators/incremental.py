@@ -99,9 +99,15 @@ def incremental_assignments(
     # On a cluster, pass a shared-storage dir; the tempfile default is for
     # single-node sessions.
     if edges_checkpoint_dir is None:
+        import atexit
+        import shutil
         import tempfile
 
         edges_checkpoint_dir = tempfile.mkdtemp(prefix="incr_edges_")
+        # downstream DataFrames read this parquet lazily, so it can't be
+        # removed inline; reap it at interpreter exit instead of leaking
+        # one dir per increment in long-lived drivers
+        atexit.register(shutil.rmtree, edges_checkpoint_dir, ignore_errors=True)
     path = f"{edges_checkpoint_dir}/incremental_edges"
     nn_edges.unionByName(no_edges).write.mode("overwrite").parquet(path)
     edges = new_bands.sparkSession.read.parquet(path)

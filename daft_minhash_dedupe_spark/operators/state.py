@@ -127,8 +127,14 @@ class IncrementalState:
             self.n_buckets = (
                 int(backend.split(":", 1)[1]) if backend.startswith("bucketed") else None
             )
+        elif meta and _list_batch_ids(spark, f"{root.rstrip('/')}/bands"):
+            # meta without a backend tag + batches on disk = state written
+            # before the bucketed backend existed, i.e. plain parquet dirs;
+            # honoring a bucketed request over them would mis-aggregate
+            self.n_buckets = None
         else:
             self.n_buckets = n_buckets
+        self._tables_registered = False
         tag = hashlib.sha1(self.root.encode()).hexdigest()[:10]
         self._bands_table = f"inc_state_bands_{tag}"
         self._assign_table = f"inc_state_components_{tag}"
@@ -211,6 +217,11 @@ class IncrementalState:
     # ------------------------------------------------------------- catalog
     def _register_tables(self) -> None:
         assert self.n_buckets
+        if self._tables_registered:
+            # once per instance: later appends go through insertInto, which
+            # keeps the catalog's partition list current — re-running the
+            # DROP/CREATE/RECOVER dance per read/write is pure metastore churn
+            return
         fs, hroot, _ = _fs(self.spark, self.root)
         for sub in (self.bands_path, self.components_path):
             p = _fs(self.spark, sub)[1]
@@ -228,6 +239,7 @@ class IncrementalState:
                 LOCATION '{loc}'"""
             )
             self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
+        self._tables_registered = True
 
     # --------------------------------------------------------------- reads
     def _read(self, path: str, table: str, cols: tuple[str, ...]) -> DataFrame:

@@ -514,6 +514,38 @@ def test_contamination_and_decontaminate(spark):
     assert kept == {11, 12}
 
 
+def test_contamination_short_bench_doc_containment(spark):
+    """A benchmark doc shorter than ngram uses its whole token sequence as
+    the window (GPT-3/PaLM min(ngram, len) rule). 'contained' (default)
+    catches it inside longer corpus docs; 'exact' only matches
+    token-identical corpus docs; a corpus doc of exactly the short width is
+    counted ONCE (base-pass whole-doc window, no double-count from the
+    extra width pass)."""
+    from daft_minhash_dedupe_spark.extras.decontaminate import contamination_pairs
+
+    bench = _docs(spark, ["secret eval answer"])  # 3 tokens < ngram=5
+    corpus = spark.createDataFrame(
+        [
+            (10, "padding secret eval answer more padding"),  # contains it
+            (11, "secret eval answer"),  # token-identical (width == 3)
+            (12, "secret answer eval"),  # same tokens, wrong order
+        ],
+        "doc_id long, text string",
+    )
+    contained = {
+        (r["doc_id"], r["bench_id"], r["n_shared"])
+        for r in contamination_pairs(corpus, bench, ngram=5).collect()
+    }
+    assert contained == {(10, 0, 1), (11, 0, 1)}
+    exact = {
+        (r["doc_id"], r["bench_id"], r["n_shared"])
+        for r in contamination_pairs(
+            corpus, bench, ngram=5, short_doc_mode="exact"
+        ).collect()
+    }
+    assert exact == {(11, 0, 1)}
+
+
 def test_duplicate_ngram_fraction(spark):
     from daft_minhash_dedupe_spark.extras.text_analysis import duplicate_ngram_fraction
 

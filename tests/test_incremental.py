@@ -276,3 +276,71 @@ def test_state_compact(spark, tmp_path):
     assert got == want
     assert state.read_bands().count() == compacted.read_bands().count()
     compacted.validate_config(cfg)
+
+
+def test_legacy_meta_without_backend_reads_plain(spark, tmp_path):
+    """A _META.json predating the backend tag means the batch dirs were
+    written as plain parquet — a bucketed open request must be demoted, or
+    Spark would trust bucket metadata the files don't satisfy."""
+    import json
+    from pathlib import Path
+
+    bands = spark.createDataFrame([(1, 10), (1, 11)], "band_key long, node long")
+    assigns = spark.createDataFrame([(11, 10)], "u long, rep long")
+
+    root = str(tmp_path / "legacy")
+    st = IncrementalState(spark, root)  # plain-parquet backend
+    st.bootstrap(bands, assigns, meta_from_config(DedupeConfig()))
+    meta_path = Path(root) / "_META.json"
+    m = json.loads(meta_path.read_text())
+    del m["backend"]
+    meta_path.write_text(json.dumps(m))
+    # drop Hadoop's local-FS checksum sidecar: the out-of-band edit above
+    # would otherwise fail CRC validation on the next Hadoop read
+    (meta_path.parent / "._META.json.crc").unlink(missing_ok=True)
+
+    reopened = IncrementalState(spark, root, n_buckets=8)
+    assert reopened.n_buckets is None
+    assert {(r["u"], r["rep"]) for r in reopened.read_assignments().collect()} == {
+        (11, 10)
+    }
+
+    # meta but NO batches on disk: nothing written yet, honor the request
+    root2 = tmp_path / "fresh"
+    root2.mkdir()
+    (root2 / "_META.json").write_text(json.dumps(m))
+    assert IncrementalState(spark, str(root2), n_buckets=8).n_buckets == 8
+
+
+def test_register_tables_once_per_instance(spark, tmp_path, monkeypatch):
+    """The bucketed backend's DROP/CREATE/RECOVER registration runs once per
+    instance, not once per read/write — appends flow through insertInto,
+    which keeps the catalog's partition list current by itself."""
+    bands = spark.createDataFrame([(1, 10), (1, 11)], "band_key long, node long")
+    assigns = spark.createDataFrame([(11, 10)], "u long, rep long")
+
+    root = str(tmp_path / "bucketed")
+    IncrementalState(spark, root, n_buckets=4).bootstrap(
+        bands, assigns, meta_from_config(DedupeConfig())
+    )
+
+    st = IncrementalState(spark, root)  # backend picked up from meta
+    assert st.n_buckets == 4
+    drops = []
+    orig_sql = spark.sql
+
+    def spy(query, *args, **kwargs):
+        if query.lstrip().upper().startswith("DROP TABLE"):
+            drops.append(query)
+        return orig_sql(query, *args, **kwargs)
+
+    monkeypatch.setattr(spark, "sql", spy)
+    assert st.read_bands().count() == 2  # first touch registers both tables
+    assert st.read_assignments().count() == 1
+    st.append(
+        spark.createDataFrame([(2, 12)], "band_key long, node long"),
+        spark.createDataFrame([(12, 12)], "u long, rep long"),
+    )
+    assert len(drops) == 2  # one DROP per table, only on the first touch
+    # and the post-registration append is still visible through the catalog
+    assert st.read_bands().count() == 3

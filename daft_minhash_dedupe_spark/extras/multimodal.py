@@ -261,7 +261,10 @@ def pixels_to_features(arr: np.ndarray, n_features: int = 8) -> np.ndarray:
 
 
 def extract_media_features(
-    df: DataFrame, n_features: int = 8, use_real_decoder: bool = False
+    df: DataFrame,
+    n_features: int = 8,
+    use_real_decoder: bool = False,
+    on_error: str = "fail",
 ) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches of binary payloads.
 
@@ -270,7 +273,10 @@ def extract_media_features(
     is preserved (narrow op — no shuffle). With ``use_real_decoder`` the
     payload is pixel-decoded (PPM/PNG/JPEG/GIF) and reduced to an
     ``n_features``-bin luminance histogram; the stub derives the vector
-    from raw bytes without decoding."""
+    from raw bytes without decoding. ``on_error`` follows the shared
+    extractor contract (`_decode_rows`): 'fail' re-raises, 'skip' drops the
+    row, 'null' keeps it with a null feature — with the real decoder a
+    mixed-kind or corrupt payload must not kill a 100-TB job."""
 
     def _featurize(p: bytes) -> np.ndarray:
         if not use_real_decoder:
@@ -281,14 +287,30 @@ def extract_media_features(
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_featurize(p) for p in pdf["payload"]]
+            recs = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                try:
+                    feat = _featurize(p).tolist()
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    feat = None
+                recs.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "n_bytes": len(p) if p is not None else 0,
+                        "feature": feat,
+                    }
+                )
+            # object dtype keeps None intact for Arrow's schema-directed
+            # conversion (same convention as _decode_rows)
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                    "feature": [f.tolist() for f in feats],
-                }
+                recs,
+                columns=["media_id", "kind", "n_bytes", "feature"],
+                dtype=object,
             )
 
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)

@@ -637,6 +637,39 @@ def test_media_features_real_decoder_flat_vectors(spark):
     assert got[1] == pytest.approx(list(pixels_to_features(dark, 8)))
 
 
+def test_media_features_real_decoder_on_error_modes(spark):
+    """With the real decoder a mixed-kind or corrupt payload must not kill
+    the job: 'null' keeps the row with a null feature, 'skip' drops it,
+    'fail' (default) raises — the `_decode_rows` contract applied to
+    extract_media_features."""
+    import numpy as np
+
+    from daft_minhash_dedupe_spark.extras.multimodal import extract_media_features
+
+    dark = np.zeros((2, 2, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(b"P6\n2 2\n255\n" + dark.tobytes()), "image/x-ppm", 2, 2, None),
+        (2, "audio", bytearray(b"RIFF....WAVEnotanimage"), "audio/wav", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, width int, height int, duration_ms long",
+    )
+    nulled = {
+        r["media_id"]: r["feature"]
+        for r in extract_media_features(
+            df, use_real_decoder=True, on_error="null"
+        ).collect()
+    }
+    assert len(nulled[1]) == 8 and nulled[2] is None
+    skipped = extract_media_features(
+        df, use_real_decoder=True, on_error="skip"
+    ).collect()
+    assert [r["media_id"] for r in skipped] == [1]
+    with pytest.raises(Exception, match="(?i)unrecognized image container"):
+        extract_media_features(df, use_real_decoder=True).collect()
+
+
 # -- streaming ---------------------------------------------------------------
 
 

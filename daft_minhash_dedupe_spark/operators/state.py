@@ -127,10 +127,10 @@ class IncrementalState:
             self.n_buckets = (
                 int(backend.split(":", 1)[1]) if backend.startswith("bucketed") else None
             )
-        elif meta and _list_batch_ids(spark, f"{root.rstrip('/')}/bands"):
-            # meta without a backend tag + batches on disk = state written
-            # before the bucketed backend existed, i.e. plain parquet dirs;
-            # honoring a bucketed request over them would mis-aggregate
+        elif _list_batch_ids(spark, f"{root.rstrip('/')}/bands"):
+            # batches on disk without a backend tag (meta missing entirely,
+            # or written before the bucketed backend existed) = plain parquet
+            # dirs; honoring a bucketed request over them would mis-aggregate
             self.n_buckets = None
         else:
             self.n_buckets = n_buckets
@@ -202,10 +202,14 @@ class IncrementalState:
                 "closures, so an incremental fold against it is unsound."
             )
         want = meta_from_config(cfg)
+        # state fingerprinted before the kernel became a _META_KEY was
+        # produced by the original arrow kernel — a missing key means
+        # "arrow", not "accept any kernel" (family mismatch under-merges)
+        stored = {"minhash_kernel": "arrow", **meta}
         mismatched = {
-            k: (meta.get(k), want[k])
+            k: (stored.get(k), want[k])
             for k in _META_KEYS
-            if k in meta and meta[k] != want[k]
+            if k in stored and stored[k] != want[k]
         }
         if mismatched:
             raise ValueError(
@@ -215,12 +219,17 @@ class IncrementalState:
             )
 
     # ------------------------------------------------------------- catalog
-    def _register_tables(self) -> None:
+    def _register_tables(self, refresh: bool = False) -> None:
         assert self.n_buckets
         if self._tables_registered:
-            # once per instance: later appends go through insertInto, which
-            # keeps the catalog's partition list current — re-running the
-            # DROP/CREATE/RECOVER dance per read/write is pure metastore churn
+            # DROP/CREATE runs once per instance: this session's appends go
+            # through insertInto, which keeps the catalog's partition list
+            # current by itself. Reads still RECOVER (cheap, no DROP/CREATE)
+            # so batches appended by ANOTHER session/process — whose
+            # insertInto updated its own catalog, not ours — are visible.
+            if refresh:
+                for name in (self._bands_table, self._assign_table):
+                    self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
             return
         fs, hroot, _ = _fs(self.spark, self.root)
         for sub in (self.bands_path, self.components_path):
@@ -244,7 +253,7 @@ class IncrementalState:
     # --------------------------------------------------------------- reads
     def _read(self, path: str, table: str, cols: tuple[str, ...]) -> DataFrame:
         if self.n_buckets:
-            self._register_tables()
+            self._register_tables(refresh=True)
             return self.spark.table(table)
         df = self.spark.read.parquet(path)
         keep = [c for c in (*cols, "batch_id") if c in df.columns]

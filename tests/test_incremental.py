@@ -344,3 +344,82 @@ def test_register_tables_once_per_instance(spark, tmp_path, monkeypatch):
     assert len(drops) == 2  # one DROP per table, only on the first touch
     # and the post-registration append is still visible through the catalog
     assert st.read_bands().count() == 3
+
+
+def test_no_meta_legacy_batches_demote_bucketed_request(spark, tmp_path):
+    """Batches on disk with NO _META.json at all (state predating
+    fingerprinting) are plain parquet — a bucketed open request must be
+    demoted exactly like the tagless-meta case, or CLUSTERED BY tables get
+    created over non-bucketed files."""
+    import json
+    from pathlib import Path
+
+    bands = spark.createDataFrame([(1, 10), (1, 11)], "band_key long, node long")
+    assigns = spark.createDataFrame([(11, 10)], "u long, rep long")
+
+    root = str(tmp_path / "nometa")
+    IncrementalState(spark, root).bootstrap(
+        bands, assigns, meta_from_config(DedupeConfig())
+    )
+    meta_path = Path(root) / "_META.json"
+    meta_path.unlink()
+    (meta_path.parent / "._META.json.crc").unlink(missing_ok=True)
+
+    reopened = IncrementalState(spark, root, n_buckets=8)
+    assert reopened.n_buckets is None
+    assert reopened.is_state_root()
+    assert {(r["u"], r["rep"]) for r in reopened.read_assignments().collect()} == {
+        (11, 10)
+    }
+
+
+def test_legacy_meta_missing_kernel_means_arrow(spark, tmp_path):
+    """State fingerprinted before minhash_kernel was a _META_KEY was built by
+    the arrow kernel: a fold with a different kernel family must be refused
+    (incomparable band keys silently under-merge), while the arrow default
+    still validates."""
+    import json
+    from pathlib import Path
+
+    import pytest
+
+    bands = spark.createDataFrame([(1, 10)], "band_key long, node long")
+    assigns = spark.createDataFrame([(10, 10)], "u long, rep long")
+
+    root = str(tmp_path / "prekernel")
+    st = IncrementalState(spark, root)
+    st.bootstrap(bands, assigns, meta_from_config(DedupeConfig()))
+    meta_path = Path(root) / "_META.json"
+    m = json.loads(meta_path.read_text())
+    del m["minhash_kernel"]
+    meta_path.write_text(json.dumps(m))
+    (meta_path.parent / "._META.json.crc").unlink(missing_ok=True)
+
+    reopened = IncrementalState(spark, root)
+    reopened.validate_config(DedupeConfig())  # arrow default: accepted
+    with pytest.raises(ValueError, match="minhash_kernel"):
+        reopened.validate_config(DedupeConfig(minhash_kernel="oph"))
+
+
+def test_bucketed_read_recovers_externally_added_partitions(spark, tmp_path):
+    """Reads re-run RECOVER PARTITIONS (no DROP/CREATE) so batches appended
+    by another session — whose insertInto updated ITS catalog, not ours —
+    are visible. Simulated by dropping a partition from the catalog after
+    registration: the stale-catalog read must still see every batch."""
+    bands = spark.createDataFrame([(1, 10), (2, 20)], "band_key long, node long")
+    assigns = spark.createDataFrame([(10, 10)], "u long, rep long")
+
+    root = str(tmp_path / "xsession")
+    IncrementalState(spark, root, n_buckets=4).bootstrap(
+        bands, assigns, meta_from_config(DedupeConfig())
+    )
+    st = IncrementalState(spark, root)
+    assert st.read_bands().count() == 2  # registers tables
+    st.append(
+        spark.createDataFrame([(3, 30)], "band_key long, node long"),
+        spark.createDataFrame([(30, 30)], "u long, rep long"),
+    )
+    # simulate the stale catalog a DIFFERENT session would have: forget the
+    # appended partition, then read — RECOVER must re-discover it
+    spark.sql(f"ALTER TABLE {st._bands_table} DROP PARTITION (batch_id=1)")
+    assert st.read_bands().count() == 3

@@ -229,15 +229,9 @@ def _q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = F.col("text")
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.round(punct_ratio(c), 4).alias("punct_ratio"),
-        F.round(distinct_token_ratio(c), 4).alias("distinct_ratio"),
-    )
-
-
-def _q_token_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality scalars — packed row (round 5): the former separate
+    token_analysis row (bpe_token_count, stopword_ratio) folded in so the
+    oracle board stays inside the driver's 50-row adjudication window."""
     from daft_minhash_dedupe_spark.extras.text_analysis import (
         bpe_token_count,
         stopword_ratio,
@@ -246,9 +240,20 @@ def _q_token_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.col("text")
     return _docs(spark, sf_dir).select(
         "doc_id",
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(distinct_token_ratio(c), 4).alias("distinct_ratio"),
         bpe_token_count(c).alias("n_bpe_tokens"),
         F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
     )
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity, self-scored on the corpus
+    (extras/lm_perplexity.py; training + scoring one relational expression,
+    replayed exactly by the DuckDB oracle)."""
+    from daft_minhash_dedupe_spark.extras.lm_perplexity import perplexity_scores
+
+    return perplexity_scores(_docs(spark, sf_dir))
 
 
 def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1545,7 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "shingle_stats": _q_shingle_stats,
         "text_quality": _q_text_quality,
-        "token_analysis": _q_token_analysis,
+        "lm_perplexity": _q_lm_perplexity,
         "knn_join": _q_knn_join,
         "events_hourly": _q_events_hourly,
         "substring_dup_pairs": _q_substring_dups,
@@ -1637,13 +1642,21 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "text_quality": f"""
-            WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents)
+            WITH t AS (SELECT doc_id, text, {toks} AS toks,
+                              list_transform({toks}, x -> lower(x)) AS ltoks
+                       FROM documents)
             SELECT doc_id,
                    round(CASE WHEN length(text) = 0 THEN 0.0
                          ELSE (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))
                               / CAST(length(text) AS DOUBLE) END, 4) AS punct_ratio,
                    round(CASE WHEN len(toks) = 0 THEN 0.0
-                         ELSE len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END, 4) AS distinct_ratio
+                         ELSE len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END, 4) AS distinct_ratio,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+                   round(CASE WHEN len(ltoks) = 0 THEN 0.0
+                         ELSE len(list_filter(ltoks, x -> list_contains(
+                              ['the','and','of','to','in','is','that','it','for','with',
+                               'a','an','on','as','at','by','be','or'], x)))
+                              / CAST(len(ltoks) AS DOUBLE) END, 4) AS stopword_ratio
             FROM t
         """,
         "ngram_jaccard_pairs": f"""
@@ -1669,16 +1682,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sv ON sv.doc = v
             WHERE common / CAST(su.n_sh + sv.n_sh - common AS DOUBLE) >= 0.05
         """,
-        "token_analysis": f"""
-            WITH t AS (SELECT doc_id, text, list_transform({toks}, x -> lower(x)) AS toks FROM documents)
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
-                   round(CASE WHEN len(toks) = 0 THEN 0.0
-                         ELSE len(list_filter(toks, x -> list_contains(
-                              ['the','and','of','to','in','is','that','it','for','with',
-                               'a','an','on','as','at','by','be','or'], x)))
-                              / CAST(len(toks) AS DOUBLE) END, 4) AS stopword_ratio
-            FROM t
+        "lm_perplexity": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                          x -> x <> '') AS toks
+                       FROM documents),
+            bgs AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(toks)),
+                                  i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+                    FROM t),
+            b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bgs),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS V
+                  FROM (SELECT unnest(toks) AS tok FROM t)),
+            s AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                         avg(log2((c12.c12 + 1) / CAST(c1.c1 + v.V AS DOUBLE))) AS lp
+                  FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+                  GROUP BY b.doc_id)
+            SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+                   round(pow(2.0, -s.lp), 4) AS ppl
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "minhash_dedupe_stats": """
             SELECT count(*) AS n_docs, count(*) AS n_assigned,

@@ -2503,3 +2503,132 @@ def test_codec_fuzz_error_contract_all_decoders():
             mutated = bytearray(good)
             mutated[pos : pos + 4] = _struct.pack(">I", 0xFFFFFFFF)
             poke(decoder, bytes(mutated))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style bigram-LM perplexity (extras/lm_perplexity.py)
+# ---------------------------------------------------------------------------
+
+
+def _ppl_python_oracle(texts: dict[str, str]) -> dict[str, float | None]:
+    """Dependency-free add-one bigram LM, self-scored — the spec the Spark
+    plan must reproduce (mirrors the DuckDB driver oracle)."""
+    import math
+    from collections import Counter
+
+    toks = {k: v.lower().split() for k, v in texts.items()}
+    bigrams = {k: list(zip(t, t[1:])) for k, t in toks.items()}
+    c12 = Counter(bg for bgs in bigrams.values() for bg in bgs)
+    c1 = Counter(bg[0] for bgs in bigrams.values() for bg in bgs)
+    vocab = len({w for t in toks.values() for w in t})
+    out: dict[str, float | None] = {}
+    for k, bgs in bigrams.items():
+        if not bgs:
+            out[k] = None
+            continue
+        lp = sum(math.log2((c12[b] + 1) / (c1[b[0]] + vocab)) for b in bgs) / len(bgs)
+        out[k] = round(2.0 ** (-lp), 4)
+    return out
+
+
+def test_lm_perplexity_hand_computed(spark):
+    """Tiny corpus whose add-one bigram probabilities are derived by hand:
+    bigrams (the,cat)x2 (cat,sat) (cat,ran); c1: the=2 cat=2; V=5."""
+    import math
+
+    from daft_minhash_dedupe_spark.extras.lm_perplexity import perplexity_scores
+
+    docs = spark.createDataFrame(
+        [("a", "the cat sat"), ("b", "the cat ran"), ("c", "solo"), ("d", "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in perplexity_scores(docs).collect()}
+    expect_a = round(2.0 ** (-(math.log2(3 / 7) + math.log2(2 / 7)) / 2), 4)
+    assert rows["a"]["n_bigrams"] == 2 and rows["a"]["ppl"] == expect_a
+    assert rows["b"]["ppl"] == expect_a  # symmetric doc
+    assert rows["c"]["n_bigrams"] == 0 and rows["c"]["ppl"] is None
+    assert rows["d"]["n_bigrams"] == 0 and rows["d"]["ppl"] is None
+
+
+def test_lm_perplexity_matches_python_oracle(spark):
+    """Self-scored Spark plan == dependency-free Python oracle on a mixed
+    corpus (repetition, gibberish, shared phrases, unicode, 1-token docs)."""
+    from daft_minhash_dedupe_spark.extras.lm_perplexity import perplexity_scores
+
+    texts = {
+        f"d{i}": t
+        for i, t in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox sleeps under the old tree",
+                "buy now click here buy now click here buy now",
+                "zx qv jj wq pk zz yx mn bv cx",
+                "the the the the the",
+                "héllo wörld héllo wörld",
+                "one",
+                "",
+                "the quick brown fox jumps over the lazy dog again and again",
+            ]
+        )
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {r["doc_id"]: r["ppl"] for r in perplexity_scores(docs).collect()}
+    want = _ppl_python_oracle(texts)
+    assert set(got) == set(want)
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None, k
+        else:
+            assert got[k] == pytest.approx(want[k], abs=2e-4), k
+    # behavioral sanity: gibberish scores worse than the boilerplate repeat
+    assert got["d3"] > got["d2"]
+
+
+def test_lm_perplexity_trained_lm_backoff_and_prune_monotone(spark):
+    """A full (unpruned) LM trained on the same corpus reproduces the
+    self-scored numbers (no backoff fires); pruning to top_k only RAISES
+    every doc's perplexity (backoff mass <= retained mass)."""
+    from daft_minhash_dedupe_spark.extras.lm_perplexity import (
+        perplexity_scores,
+        train_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "the cat sat"), ("b", "the cat ran"), ("c", "solo")],
+        ["doc_id", "text"],
+    )
+    self_scored = {r["doc_id"]: r["ppl"] for r in perplexity_scores(docs).collect()}
+    full_lm = train_bigram_lm(docs)
+    with_lm = {
+        r["doc_id"]: r["ppl"] for r in perplexity_scores(docs, lm=full_lm).collect()
+    }
+    assert with_lm == self_scored
+    pruned = train_bigram_lm(docs, top_k=1)  # keeps only (the, cat)
+    with_pruned = {
+        r["doc_id"]: r["ppl"] for r in perplexity_scores(docs, lm=pruned).collect()
+    }
+    import math
+
+    # doc a: retained (the,cat)=3/7; (cat,sat) backs off to unseen mass 1/(2+5)
+    expect_a = round(2.0 ** (-(math.log2(3 / 7) + math.log2(1 / 7)) / 2), 4)
+    assert with_pruned["a"] == expect_a
+    for k in ("a", "b"):
+        assert with_pruned[k] >= with_lm[k], k
+
+
+def test_lm_perplexity_unseen_context_uses_vocab_floor(spark):
+    """Scoring docs whose contexts the reference LM never saw falls back to
+    log2(1/V) per bigram: ppl == V exactly."""
+    from daft_minhash_dedupe_spark.extras.lm_perplexity import (
+        perplexity_scores,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [("r1", "alpha beta gamma delta"), ("r2", "beta gamma epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    lm = train_bigram_lm(ref)  # V = 6
+    unseen = spark.createDataFrame([("x", "omega psi chi")], ["doc_id", "text"])
+    rows = perplexity_scores(unseen, lm=lm).collect()
+    assert rows[0]["ppl"] == 6.0

@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 from daft_minhash_dedupe_spark.extras.decontaminate import decontaminate
 from daft_minhash_dedupe_spark.extras.exact_dedupe import exact_dedupe
+from daft_minhash_dedupe_spark.extras.lm_perplexity import (
+    BigramLM,
+    perplexity_scores,
+)
 from daft_minhash_dedupe_spark.extras.text_analysis import (
     language_id,
     quality_score,
@@ -42,10 +46,21 @@ def curate_corpus(
     min_quality: float = 0.5,
     languages: Sequence[str] = ("en",),
     ngram: int = 13,
+    lm: BigramLM | None = None,
+    max_ppl: float | None = None,
 ) -> DataFrame:
-    """Quality gate → language filter → exact dedup (keep min id per
-    content) → 13-gram benchmark decontamination. Returns the surviving rows
-    with ``quality`` and ``lang`` columns attached."""
+    """Quality gate → language filter → [optional CCNet perplexity gate] →
+    exact dedup (keep min id per content) → 13-gram benchmark
+    decontamination. Returns the surviving rows with ``quality`` and
+    ``lang`` (and, when the LM gate runs, ``ppl``) columns attached.
+
+    The perplexity gate (CCNet head/tail cut) activates when BOTH ``lm``
+    (a pruned reference LM — broadcast-scored, see extras/lm_perplexity.py)
+    and ``max_ppl`` are given. It sits after the Catalyst gates (so the LM
+    join sees only quality/language survivors) and before exact dedup
+    (ppl is content-determined, so dedup keep-choice doesn't affect which
+    contents survive). Docs with < 2 tokens have NULL ppl and are KEPT —
+    length policy belongs to the quality gate, not the LM."""
     out = (
         df.withColumn("quality", quality_score(F.col(text_col)))
         .withColumn("lang", language_id(F.col(text_col)))
@@ -53,6 +68,11 @@ def curate_corpus(
             (F.col("quality") >= min_quality) & F.col("lang").isin(*languages)
         )
     )
+    if lm is not None and max_ppl is not None:
+        scores = perplexity_scores(out, id_col=id_col, text_col=text_col, lm=lm)
+        out = out.join(scores.select(id_col, "ppl"), id_col).where(
+            F.col("ppl").isNull() | (F.col("ppl") <= max_ppl)
+        )
     out = exact_dedupe(out, text_col, id_col)
     if benchmark is not None:
         out = decontaminate(

@@ -2632,3 +2632,39 @@ def test_lm_perplexity_unseen_context_uses_vocab_floor(spark):
     unseen = spark.createDataFrame([("x", "omega psi chi")], ["doc_id", "text"])
     rows = perplexity_scores(unseen, lm=lm).collect()
     assert rows[0]["ppl"] == 6.0
+
+
+def test_curate_corpus_perplexity_gate(spark):
+    """The opt-in CCNet perplexity gate drops ONLY high-ppl survivors of the
+    Catalyst gates; NULL-ppl (sub-bigram) docs pass; lm=None keeps the
+    pipeline byte-identical to the ungated plan."""
+    from daft_minhash_dedupe_spark.extras.curate import curate_corpus
+    from daft_minhash_dedupe_spark.extras.lm_perplexity import train_bigram_lm
+
+    fluent = (
+        "the quick brown fox jumps over the lazy dog and runs to the old mill "
+        "with great speed for fun"
+    )
+    fluent2 = (
+        "the quick brown fox jumps over the lazy dog and walks to the old barn "
+        "with great speed for fun"
+    )
+    gibberish = (
+        "colorless green ideas sleep furiously while quantum zebras postulate "
+        "recursive marmalade theorems beneath the arbitrary lighthouse of wednesday"
+    )
+    rows = [(10, fluent), (11, fluent2), (12, gibberish)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame([(1, fluent), (2, fluent2)], "doc_id long, text string")
+    lm = train_bigram_lm(ref)
+
+    ungated = sorted(
+        r["doc_id"] for r in curate_corpus(df, min_quality=0.5).collect()
+    )
+    assert ungated == [10, 11, 12]
+    # gibberish backs off on nearly every bigram -> ppl near V; fluent docs
+    # score far lower. A threshold between them keeps exactly the fluent pair.
+    gated = curate_corpus(df, min_quality=0.5, lm=lm, max_ppl=15.0)
+    got = sorted(r["doc_id"] for r in gated.collect())
+    assert got == [10, 11]
+    assert "ppl" in gated.columns

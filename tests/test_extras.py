@@ -2668,3 +2668,79 @@ def test_curate_corpus_perplexity_gate(spark):
     got = sorted(r["doc_id"] for r in gated.collect())
     assert got == [10, 11]
     assert "ppl" in gated.columns
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (extras/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    """The kept set is a function of (key, salt) only — identical across
+    plans, partitionings, and re-runs; different salts draw independently."""
+    from daft_minhash_dedupe_spark.extras.sampling import deterministic_sample
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.25).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(17, "doc_id"), 0.25).collect()
+    }
+    assert a == b
+    # rate lands near 25% (xxhash64 uniformity; 4k keys -> ~2% sigma)
+    assert 0.20 <= len(a) / 4000 <= 0.30
+    c = {r["doc_id"] for r in deterministic_sample(df, 0.25, salt="other").collect()}
+    assert c != a  # independent draw
+    # monotone nesting: a higher rate with the same salt is a superset
+    sup = {r["doc_id"] for r in deterministic_sample(df, 0.5).collect()}
+    assert a <= sup
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    from daft_minhash_dedupe_spark.extras.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else ("fr" if i % 4 == 1 else "de"))
+            for i in range(6000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, {"en": 0.5, "fr": 0.1}).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    n_en, n_fr = 3000, 1500
+    assert 0.42 <= len(by_lang.get("en", ())) / n_en <= 0.58
+    assert 0.05 <= len(by_lang.get("fr", ())) / n_fr <= 0.16
+    assert "de" not in by_lang  # default_fraction=0 drops unmapped strata
+    # keep decision matches the single-rate sampler at the same salt
+    from daft_minhash_dedupe_spark.extras.sampling import deterministic_sample
+
+    solo = {r["doc_id"] for r in
+            deterministic_sample(df.where("lang = 'en'"), 0.5).collect()}
+    assert by_lang["en"] == solo
+
+
+def test_train_validation_split_disjoint_exhaustive(spark):
+    from daft_minhash_dedupe_spark.extras.sampling import train_validation_split
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    train, valid = train_validation_split(df, validation_fraction=0.1)
+    t = {r["doc_id"] for r in train.collect()}
+    v = {r["doc_id"] for r in valid.collect()}
+    assert t & v == set()
+    assert t | v == set(range(3000))
+    assert 0.05 <= len(v) / 3000 <= 0.16
+
+
+def test_sampling_rejects_bad_fractions(spark):
+    from daft_minhash_dedupe_spark.extras.sampling import (
+        deterministic_sample,
+        stratified_sample,
+        train_validation_split,
+    )
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        deterministic_sample(df, 1.5)
+    with pytest.raises(ValueError):
+        stratified_sample(df.withColumn("lang", F.lit("en")), {"en": -0.1})
+    with pytest.raises(ValueError):
+        train_validation_split(df, 2.0)

@@ -29,7 +29,6 @@ from daft_minhash_dedupe_spark.extras.embedding_ann import (
 )
 from daft_minhash_dedupe_spark.extras.exact_dedupe import (
     exact_dup_assignments,
-    exact_dup_groups,
     exact_dedupe,
 )
 from daft_minhash_dedupe_spark.extras.line_dedupe import line_dedupe
@@ -190,10 +189,6 @@ def _q_cc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(assigns.withColumnRenamed("u", "doc_id"), "doc_id", "left")
         .select("doc_id", F.coalesce("rep", "doc_id").alias("component"))
     )
-
-
-def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dup_groups(_docs(spark, sf_dir)).select("digest", "n_docs", "keep_id")
 
 
 def _q_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1105,16 +1100,50 @@ def _q_asof_purchase_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arms[0].unionByName(arms[1])
 
 
-def _q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data curation gate: keep documents whose composite quality
-    score (length saturation × low punctuation × lexical diversity) clears
-    0.5 — the standard webtext quality filter, fully Catalyst."""
-    from daft_minhash_dedupe_spark.extras.text_analysis import quality_score
+def _q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain page caps (extras/sampling.cap_per_group): the webtext
+    anti-spam mix rule "no domain contributes more than K pages", keeping
+    each domain's LONGEST pages (n_chars desc, doc_id tiebreak). Domain
+    comes from the canonicalize-URL → host path; the oracle re-derives it
+    independently from doc_id % 7 and ranks with a plain row_number, so the
+    row adjudicates both the two-phase salted top-k (vs the textbook single
+    window) and the URL path end-to-end."""
+    from daft_minhash_dedupe_spark.extras.sampling import cap_per_group
+    from daft_minhash_dedupe_spark.functions.url import canonical_url
 
-    out = _docs(spark, sf_dir).select(
-        "doc_id", quality_score(F.col("text")).alias("quality")
+    domain = F.regexp_extract(
+        canonical_url(_synth_url(F.col("doc_id"))), r"^[a-z]+://([^/]+)", 1
     )
-    return out.where(F.col("quality") >= 0.5)
+    docs = _docs(spark, sf_dir).select(
+        domain.alias("domain"), "doc_id", "n_chars"
+    )
+    return cap_per_group(
+        docs,
+        group_cols=["domain"],
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=40,
+    ).select(
+        "domain", "doc_id", "n_chars", F.col("group_rank").cast("long").alias("group_rank")
+    )
+
+
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing plan (extras/packing.pack_sequences): each
+    document's global token offset and the 2048-token model sequences it
+    spans, under doc_id concatenation order. The Spark side is a two-phase
+    distributed prefix sum (range-bucketed local windows + an n_buckets-row
+    offset join — no global single-task window); the oracle is DuckDB's
+    textbook global cumsum, so the row adjudicates the decomposition
+    exactly, offset for offset."""
+    from daft_minhash_dedupe_spark.extras.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(docs, seq_len=2048, n_buckets=16)
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,7 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "minhash_dedupe_stats": _q_minhash_dedupe_stats,
         "cc_lang_source": _q_cc_lang_source,
-        "exact_dup_groups": _q_exact_dup_groups,
+        "domain_caps": _q_domain_caps,
         "exact_dedupe": _q_exact_dedupe,
         "exact_components": _q_exact_components,
         "normalize": _q_normalize,
@@ -1575,7 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pairs": _q_contamination,
         "curated_corpus": _q_curated_corpus,
         "repetition_stats": _q_repetition_stats,
-        "curation_filter": _q_curation_filter,
+        "sequence_packing": _q_sequence_packing,
         "lang_id": _q_lang_id,
         "kernel_fp_stats": _q_kernel_fp_stats,
         "tiered_boundaries": _q_tiered_boundaries,
@@ -1610,9 +1639,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, source) AS component
             FROM documents
         """,
-        "exact_dup_groups": """
-            SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keep_id
-            FROM documents GROUP BY 1
+        "domain_caps": """
+            SELECT domain, doc_id, n_chars, CAST(rnk AS BIGINT) AS group_rank
+            FROM (
+              SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS domain,
+                     doc_id, n_chars,
+                     row_number() OVER (PARTITION BY doc_id % 7
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rnk
+              FROM documents)
+            WHERE rnk <= 40
         """,
         "exact_dedupe": """
             SELECT doc_id, text FROM documents
@@ -1789,18 +1824,23 @@ def oracle_sql() -> dict[str, str]:
                          END, 6) AS dup_3gram_frac
             FROM w
         """,
-        "curation_filter": f"""
-            WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
-            q AS (
-              SELECT doc_id,
-                round(least(len(toks) / 20.0, 1.0)
-                  * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-                           ELSE (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))
-                                / CAST(length(text) AS DOUBLE) END)
-                  * (CASE WHEN len(toks) = 0 THEN 0.0
-                     ELSE len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END), 6) AS quality
-              FROM t)
-            SELECT doc_id, quality FROM q WHERE quality >= 0.5
+        "sequence_packing": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset
+              FROM t WHERE n_tokens > 0)
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset + n_tokens AS end_offset,
+                   start_offset // 2048 AS first_seq,
+                   (start_offset + n_tokens - 1) // 2048 AS last_seq,
+                   (start_offset + n_tokens - 1) // 2048
+                     - start_offset // 2048 + 1 AS n_seqs
+            FROM c
         """,
         "curated_corpus": f"""
             WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),

@@ -2744,3 +2744,196 @@ def test_sampling_rejects_bad_fractions(spark):
         stratified_sample(df.withColumn("lang", F.lit("en")), {"en": -0.1})
     with pytest.raises(ValueError):
         train_validation_split(df, 2.0)
+
+
+# ---------------------------------------------------------------------------
+# Per-group caps (extras/sampling.cap_per_group)
+# ---------------------------------------------------------------------------
+
+
+def _cap_fixture_rows():
+    # Skewed groups: 'hot' has 400 rows, 'warm' 40, 'tiny' 3. quality is
+    # non-unique on purpose (doc_id breaks ties -> total order).
+    rows = []
+    for i in range(400):
+        rows.append((i, "hot", float(i % 10)))
+    for i in range(400, 440):
+        rows.append((i, "warm", float(i % 5)))
+    for i in range(440, 443):
+        rows.append((i, "tiny", 1.0))
+    return rows
+
+
+def test_cap_per_group_matches_duckdb_row_number(spark):
+    """Two-phase salted top-k == the textbook single-window row_number,
+    adjudicated by DuckDB on identical rows (survivor set AND ranks)."""
+    import duckdb
+
+    from daft_minhash_dedupe_spark.extras.sampling import cap_per_group
+
+    rows = _cap_fixture_rows()
+    df = spark.createDataFrame(rows, "doc_id long, domain string, quality double")
+    got = {
+        (r["doc_id"], r["domain"], r["group_rank"])
+        for r in cap_per_group(
+            df,
+            group_cols=["domain"],
+            order_cols=[F.col("quality").desc(), F.col("doc_id").asc()],
+            k=25,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, domain VARCHAR, quality DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        (d, g, r)
+        for d, g, r in con.execute(
+            """
+            SELECT doc_id, domain, rnk FROM (
+              SELECT doc_id, domain,
+                     row_number() OVER (PARTITION BY domain
+                                        ORDER BY quality DESC, doc_id ASC) AS rnk
+              FROM t)
+            WHERE rnk <= 25
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # tiny group (3 < k) survives whole; hot group capped exactly at k
+    assert sum(1 for _, g, _ in got if g == "tiny") == 3
+    assert sum(1 for _, g, _ in got if g == "hot") == 25
+
+
+def test_cap_per_group_stable_under_repartition_and_salt(spark):
+    from daft_minhash_dedupe_spark.extras.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        _cap_fixture_rows(), "doc_id long, domain string, quality double"
+    )
+    order = [F.col("quality").desc(), F.col("doc_id").asc()]
+    a = {
+        (r["doc_id"], r["group_rank"])
+        for r in cap_per_group(df, ["domain"], order, k=10).collect()
+    }
+    b = {
+        (r["doc_id"], r["group_rank"])
+        for r in cap_per_group(
+            df.repartition(13), ["domain"], order, k=10, salt_buckets=3
+        ).collect()
+    }
+    assert a == b
+
+
+def test_cap_per_group_rejects_bad_args(spark):
+    from daft_minhash_dedupe_spark.extras.sampling import cap_per_group
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id").withColumn(
+        "g", F.lit("x")
+    )
+    with pytest.raises(ValueError):
+        cap_per_group(df, ["g"], [F.col("doc_id")], k=0)
+    with pytest.raises(ValueError):
+        cap_per_group(df, ["g"], [F.col("doc_id")], k=1, salt_buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (extras/packing.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_matches_duckdb_prefix_sum(spark):
+    """Two-phase distributed prefix sum == DuckDB's global window cumsum,
+    row-for-row (offsets, sequence spans), on real corpus token counts."""
+    import duckdb
+
+    from daft_minhash_dedupe_spark.extras.packing import pack_sequences
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    got = {
+        tuple(r)
+        for r in pack_sequences(docs, seq_len=2048, n_buckets=7)
+        .select(
+            "doc_id", "n_tokens", "start_offset", "end_offset",
+            "first_seq", "last_seq", "n_seqs",
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                          x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM read_parquet('{sf}/documents.parquet')),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start_offset
+              FROM t WHERE n_tokens > 0)
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset + n_tokens AS end_offset,
+                   start_offset // 2048 AS first_seq,
+                   (start_offset + n_tokens - 1) // 2048 AS last_seq,
+                   (start_offset + n_tokens - 1) // 2048
+                     - start_offset // 2048 + 1 AS n_seqs
+            FROM c
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_pack_sequences_bucket_count_invariance(spark):
+    """Output is independent of the bucket count (any contiguous range
+    split reconstructs the same global prefix sum)."""
+    from daft_minhash_dedupe_spark.extras.packing import pack_sequences
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_tokens")
+    )
+    a = {tuple(r) for r in pack_sequences(df, 128, n_buckets=3).collect()}
+    b = {tuple(r) for r in pack_sequences(df, 128, n_buckets=31).collect()}
+    assert a == b
+    # contiguity: offsets tile [0, total) exactly, in doc_id order
+    rows = sorted(a)
+    assert rows[0][2] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur[2] == prev[3]
+
+
+def test_packing_stats_rollup(spark):
+    from daft_minhash_dedupe_spark.extras.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 50), (3, 0), (4, 30)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, seq_len=64, n_buckets=2)
+    row = packing_stats(packed, 64).collect()[0]
+    # 180 tokens total (zero-token doc dropped) -> ceil(180/64) = 3 sequences
+    assert row["n_docs"] == 3
+    assert row["total_tokens"] == 180
+    assert row["n_sequences"] == 3
+    assert abs(row["pad_fraction"] - (3 * 64 - 180) / (3 * 64)) < 1e-12
+
+
+def test_pack_sequences_rejects_bad_args(spark):
+    from daft_minhash_dedupe_spark.extras.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, 10, n_buckets=-1)

@@ -2937,3 +2937,160 @@ def test_pack_sequences_rejects_bad_args(spark):
         pack_sequences(df, 0)
     with pytest.raises(ValueError):
         pack_sequences(df, 10, n_buckets=-1)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (extras/dsir.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_dsir_buckets(text, n_buckets):
+    """Pure-Python mirror of ngram_feature_buckets via the repo's xxh64
+    oracle (pmod of a signed long by B == unsigned % B is NOT generally
+    true, but Spark's pmod is the math mod, which python's % matches)."""
+    from daft_minhash_dedupe_spark.oracle import xxh64_signed
+
+    toks = [t for t in text.lower().split() if t]
+    uni = [xxh64_signed(t.encode("utf-8")) % n_buckets for t in toks]
+    bi = [
+        xxh64_signed(f"{a} {b}".encode("utf-8")) % n_buckets
+        for a, b in zip(toks, toks[1:])
+    ]
+    return uni + bi
+
+
+def _py_dsir_weights(raw_docs, target_docs, n_buckets):
+    import math as _math
+    from collections import Counter
+
+    tc = Counter(b for _, t in target_docs for b in _py_dsir_buckets(t, n_buckets))
+    rc = Counter(b for _, t in raw_docs for b in _py_dsir_buckets(t, n_buckets))
+    tt, rt = sum(tc.values()), sum(rc.values())
+    t_denom, r_denom = _math.log(tt + n_buckets), _math.log(rt + n_buckets)
+    out = {}
+    for did, t in raw_docs:
+        w, feats = 0.0, _py_dsir_buckets(t, n_buckets)
+        for b in feats:
+            lt = _math.log(tc[b] + 1) - t_denom if b in tc else -t_denom
+            lr = _math.log(rc[b] + 1) - r_denom if b in rc else -r_denom
+            w += lt - lr
+        out[did] = (len(feats), w)
+    return out
+
+
+def test_dsir_weights_match_pure_python_oracle(spark):
+    """Spark DSIR log-weights == the dependency-free python implementation,
+    feature count exactly and weight to float precision. B=64 forces hash
+    collisions so the bucketing itself is exercised."""
+    from daft_minhash_dedupe_spark.extras.dsir import dsir_weights
+
+    raw_docs = [
+        (i, f"the quick brown fox {i} jumps over the lazy dog number {i % 5}")
+        for i in range(30)
+    ] + [(100 + i, f"zzq{i} qqz{i * 7} xjv kwp{i}") for i in range(10)]
+    target_docs = [
+        (i, f"the quick red fox likes the calm dog and number {i % 3}")
+        for i in range(15)
+    ]
+    raw = spark.createDataFrame(raw_docs, "doc_id long, text string")
+    target = spark.createDataFrame(target_docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_features"], r["log_weight"])
+        for r in dsir_weights(raw, target, n_buckets=64).collect()
+    }
+    want = _py_dsir_weights(raw_docs, target_docs, 64)
+    assert set(got) == set(want)
+    for did, (nf, w) in want.items():
+        assert got[did][0] == nf
+        assert abs(got[did][1] - w) <= 1e-8 * max(1.0, abs(w))
+
+
+def test_dsir_empty_doc_gets_zero_weight(spark):
+    from daft_minhash_dedupe_spark.extras.dsir import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(1, "hello there")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dsir_weights(raw, target, n_buckets=32).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2]["n_features"] == 0 and got[2]["log_weight"] == 0.0
+    assert got[3]["n_features"] == 0 and got[3]["log_weight"] == 0.0
+
+
+def test_gumbel_key_matches_python_derivation(spark):
+    import math as _math
+
+    from daft_minhash_dedupe_spark.extras.dsir import gumbel_key
+    from daft_minhash_dedupe_spark.oracle import xxh64, xxh64_signed  # noqa: F401
+
+    df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", gumbel_key(F.col("doc_id"), "s1").alias("g")
+        ).collect()
+    }
+    for did in range(50):
+        h1 = xxh64((did % (1 << 64)).to_bytes(8, "little"), 42)
+        h2 = xxh64(b"s1", h1)
+        u = (h2 % (1 << 20) + 0.5) / float(1 << 20)
+        g = -_math.log(-_math.log(u))
+        assert abs(got[did] - g) < 1e-10
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """End-to-end: raw pool = 60 target-like + 60 spam docs (spam vocab is
+    COMMON in raw, absent from target — the distribution shape DSIR is
+    built to reject; per-doc-unique gibberish would instead be upweighted
+    by the p_target/p_raw ratio, correctly per the paper). Resampling at
+    low temperature must pick overwhelmingly from the target-like half,
+    and the draw is deterministic across repartitionings."""
+    from daft_minhash_dedupe_spark.extras.dsir import dsir_select, dsir_weights
+
+    like = [
+        (i, f"science papers discuss the method and the results of study {i % 7}")
+        for i in range(60)
+    ]
+    junk = [
+        (1000 + i, f"buy cheap pills now click here best offer deal win prize {i % 3}")
+        for i in range(60)
+    ]
+    raw = spark.createDataFrame(like + junk, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(i, f"the study method shows results in science of papers {i % 4}")
+         for i in range(25)],
+        "doc_id long, text string",
+    )
+    w = dsir_weights(raw, target, n_buckets=2048)
+    picked = {r["doc_id"] for r in dsir_select(w, k=40, temperature=0.05).collect()}
+    assert len(picked) == 40
+    assert sum(1 for d in picked if d < 1000) >= 36  # >=90% target-like
+    # deterministic under repartition
+    picked2 = {
+        r["doc_id"]
+        for r in dsir_select(w.repartition(13), k=40, temperature=0.05).collect()
+    }
+    assert picked == picked2
+
+
+def test_dsir_select_fraction_and_validation(spark):
+    from daft_minhash_dedupe_spark.extras.dsir import dsir_select
+
+    w = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17).cast("double").alias("log_weight")
+    )
+    out = dsir_select(w, fraction=0.25)
+    n = out.count()
+    assert 400 <= n <= 600  # approxQuantile threshold, 25% +/- tolerance
+    assert dsir_select(w, fraction=1.0).count() == 2000
+    with pytest.raises(ValueError):
+        dsir_select(w)
+    with pytest.raises(ValueError):
+        dsir_select(w, k=10, fraction=0.5)
+    with pytest.raises(ValueError):
+        dsir_select(w, k=0)
+    with pytest.raises(ValueError):
+        dsir_select(w, fraction=0.0)
+    with pytest.raises(ValueError):
+        dsir_select(w, k=5, temperature=0.0)

@@ -397,6 +397,17 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_metadata + media_features packed into one driver row (both are
+    keyed by media_id over the same doc population; packing keeps both arms
+    oracle-adjudicated inside the driver's 50-row window). n_bytes comes
+    from the metadata arm (payload WITH magic prefix); bin0_count from the
+    feature arm (raw-text payload)."""
+    meta = _q_media_metadata(spark, sf_dir)
+    feats = _q_media_features(spark, sf_dir).select("media_id", "bin0_count")
+    return meta.join(feats, "media_id")
+
+
 def _ascii_padded(col, n: int):
     """ASCII-only fixed-width byte payload from a text column: strip
     non-printable/non-ASCII, right-pad/truncate to exactly n chars → n bytes."""
@@ -482,6 +493,20 @@ def _q_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return extract_resized_ppm_features(media, 8, 8)
+
+
+def _q_ppm_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ppm_features + ppm_resize packed into one driver row: the full-res
+    16x16 decode sums joined with the nearest-neighbor 8x8 resize sums per
+    media_id, both byte-exact against the SQL oracle."""
+    full = _q_ppm_features(spark, sf_dir)
+    resized = _q_ppm_resize(spark, sf_dir).select(
+        "media_id",
+        F.col("width").alias("resized_width"),
+        F.col("height").alias("resized_height"),
+        F.col("pixel_sum").alias("resized_pixel_sum"),
+    )
+    return full.join(resized, "media_id")
 
 
 def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,6 +984,51 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") < 25)
     return contamination_pairs(corpus, bench, ngram=13).select(
         "doc_id", "bench_id", "n_shared"
+    )
+
+
+def _q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (Jaccard-threshold) decontamination: corpus docs whose distinct
+    5-gram shingle set overlaps a benchmark doc's at Jaccard >= 0.5 — the
+    PaLM-style overlap-ratio rule, robust to light edits the verbatim
+    13-gram rule already catches only verbatim. Planted near-dups: every
+    benchmark doc re-enters the corpus with three extra trailing tokens."""
+    from daft_minhash_dedupe_spark.extras.decontaminate import (
+        fuzzy_contamination_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") < 25)
+    planted = bench.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq1 zq2 zq3")).alias("text"),
+    )
+    corpus = docs.where(F.col("doc_id") >= 25).select("doc_id", "text").unionByName(
+        planted
+    )
+    return fuzzy_contamination_pairs(corpus, bench, ngram=5, threshold=0.5).select(
+        "doc_id", "bench_id", "jaccard"
+    )
+
+
+def _q_bloom_dedupe_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership dedup (Dolma-style memory-bounded exact
+    dedup): filter built over docs with doc_id < 250, probed by the rest of
+    the corpus plus 25 planted verbatim recrawls. md5-based bit positions
+    make the flags — including the deterministic false positives at this
+    deliberately small m=4096 — bit-for-bit SQL-replayable."""
+    from daft_minhash_dedupe_spark.extras.bloom_dedupe import flag_bloom_duplicates
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.where(F.col("doc_id") < 250)
+    planted = seen.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    batch = docs.where(F.col("doc_id") >= 250).select("doc_id", "text").unionByName(
+        planted
+    )
+    return flag_bloom_duplicates(seen, batch, m=4096, k=3, seed=0).select(
+        "doc_id", "bloom_hit"
     )
 
 
@@ -1585,11 +1655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_pairs": _q_substring_dups,
         "substring_span_removal": _q_substring_span_removal,
         "html_blocks": _q_html_blocks,
-        "media_metadata": _q_media_metadata,
-        "media_features": _q_media_features,
+        "media_meta_features": _q_media_meta_features,
         "wav_features": _q_wav_features,
-        "ppm_features": _q_ppm_features,
-        "ppm_resize": _q_ppm_resize,
+        "ppm_decode_resize": _q_ppm_decode_resize,
         "media_fp_stats": _q_media_fp_stats,
         "image_near_dup": _q_image_near_dup,
         "audio_near_dup": _q_audio_near_dup,
@@ -1602,6 +1670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": _q_token_topk,
         "asof_purchase_arms": _q_asof_purchase_arms,
         "contamination_pairs": _q_contamination,
+        "fuzzy_contamination": _q_fuzzy_contamination,
+        "bloom_dedupe_flags": _q_bloom_dedupe_flags,
         "curated_corpus": _q_curated_corpus,
         "repetition_stats": _q_repetition_stats,
         "sequence_packing": _q_sequence_packing,
@@ -1809,6 +1879,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, b.bench_id, count(*) AS n_shared
             FROM c JOIN b USING (win)
             GROUP BY 1, 2
+        """,
+        "fuzzy_contamination": f"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id >= 25
+              UNION ALL
+              SELECT doc_id + 10000, text || ' zq1 zq2 zq3'
+              FROM documents WHERE doc_id < 25),
+            ct AS (SELECT doc_id, {toks} AS toks FROM base),
+            bt AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 25),
+            cw AS (SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []
+                          WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                               i -> array_to_string(toks[i:i+4], ' '))) END AS wins
+                   FROM ct),
+            bw AS (SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []
+                          WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                               i -> array_to_string(toks[i:i+4], ' '))) END AS wins
+                   FROM bt),
+            cp AS (SELECT doc_id, unnest(wins) AS win FROM cw),
+            bp AS (SELECT doc_id AS bench_id, unnest(wins) AS win FROM bw),
+            common AS (SELECT cp.doc_id, bp.bench_id, count(*) AS n_common
+                       FROM cp JOIN bp USING (win) GROUP BY 1, 2)
+            SELECT c.doc_id, c.bench_id,
+                   round(c.n_common * 1.0
+                         / (len(cs.wins) + len(bs.wins) - c.n_common), 6) AS jaccard
+            FROM common c
+            JOIN cw cs ON cs.doc_id = c.doc_id
+            JOIN bw bs ON bs.doc_id = c.bench_id
+            WHERE c.n_common * 1.0 / (len(cs.wins) + len(bs.wins) - c.n_common)
+                  >= 0.5
+        """,
+        "bloom_dedupe_flags": """
+            WITH seen AS (SELECT text FROM documents WHERE doc_id < 250),
+            batch AS (
+              SELECT doc_id, text FROM documents WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 20000, text FROM documents WHERE doc_id < 25),
+            bits AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5(concat_ws(':', '0', i::VARCHAR, text)), 1, 15))
+                  ::BIGINT % 4096 AS bit
+              FROM seen CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
+            probes AS (
+              SELECT doc_id,
+                unnest(list_distinct(list_transform([0, 1, 2],
+                  i -> ('0x' || substr(md5(concat_ws(':', '0', i::VARCHAR, text)),
+                        1, 15))::BIGINT % 4096))) AS bit
+              FROM batch)
+            SELECT p.doc_id, count(*) = count(b.bit) AS bloom_hit
+            FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+            GROUP BY p.doc_id
         """,
         "repetition_stats": f"""
             WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
@@ -2074,40 +2198,33 @@ def oracle_sql() -> dict[str, str]:
                    sample_sum
             FROM sums
         """,
-        "ppm_features": """
+        "ppm_decode_resize": """
+            -- full-res decode sum + nearest-neighbor 16x16 -> 8x8 resize sum
+            -- (strided sampling: output cell (i,j,c) reads payload byte
+            -- (2i*16 + 2j)*3 + c, 0-based), packed per media_id
             WITH s AS (
               SELECT doc_id,
                      rpad(regexp_replace(text, '[^ -~]', '', 'g'), 768, ' ') AS a
               FROM documents),
-            sums AS (
+            full_sums AS (
               SELECT doc_id,
                      CAST(SUM(unicode(substr(a, CAST(i AS INT), 1))) AS BIGINT) AS pixel_sum
-              FROM s, range(1, 769) t(i) GROUP BY doc_id)
-            SELECT doc_id AS media_id,
-                   CAST(16 AS BIGINT) AS width,
-                   CAST(16 AS BIGINT) AS height,
-                   pixel_sum
-            FROM sums
-        """,
-        "ppm_resize": """
-            -- nearest-neighbor 16x16 -> 8x8 is strided sampling: output cell
-            -- (i,j,c) reads payload byte (2i*16 + 2j)*3 + c (0-based)
-            WITH s AS (
-              SELECT doc_id,
-                     rpad(regexp_replace(text, '[^ -~]', '', 'g'), 768, ' ') AS a
-              FROM documents),
-            sums AS (
+              FROM s, range(1, 769) t(i) GROUP BY doc_id),
+            rs_sums AS (
               SELECT doc_id,
                      CAST(SUM(unicode(substr(a,
                        CAST((2*i*16 + 2*j)*3 + c + 1 AS INT), 1))) AS BIGINT)
-                       AS pixel_sum
+                       AS resized_pixel_sum
               FROM s, range(0, 8) ti(i), range(0, 8) tj(j), range(0, 3) tc(c)
               GROUP BY doc_id)
-            SELECT doc_id AS media_id,
-                   CAST(8 AS BIGINT) AS width,
-                   CAST(8 AS BIGINT) AS height,
-                   pixel_sum
-            FROM sums
+            SELECT f.doc_id AS media_id,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(16 AS BIGINT) AS height,
+                   f.pixel_sum,
+                   CAST(8 AS BIGINT) AS resized_width,
+                   CAST(8 AS BIGINT) AS resized_height,
+                   r.resized_pixel_sum
+            FROM full_sums f JOIN rs_sums r USING (doc_id)
         """,
         "media_fp_stats": """
             WITH src AS (
@@ -2198,18 +2315,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 4 <> 0
         """,
-        "media_metadata": """
+        "media_meta_features": """
             SELECT doc_id AS media_id,
                    CASE WHEN doc_id % 3 IN (0, 1) THEN strlen(text) + 4
                         ELSE strlen(text) END AS n_bytes,
                    CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
                         WHEN doc_id % 3 = 1 THEN 'image/png'
-                        ELSE 'application/octet-stream' END AS sniffed_mime
-            FROM documents
-        """,
-        "media_features": """
-            SELECT doc_id AS media_id,
-                   strlen(text) AS n_bytes,
+                        ELSE 'application/octet-stream' END AS sniffed_mime,
                    length(regexp_replace(text, '[^ hpx]', '', 'g')) AS bin0_count
             FROM documents
         """,

@@ -88,6 +88,74 @@ def contamination_pairs(
     )
 
 
+def fuzzy_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, bench_id, jaccard) for corpus×benchmark pairs whose DISTINCT
+    n-gram shingle sets have Jaccard ≥ threshold — the paraphrase-robust
+    complement of the verbatim rule above (the PaLM-style "high overlap
+    ratio" contamination criterion, vs GPT-3's any-13-gram hit).
+
+    EXACT (no LSH/MinHash approximation, so it is SQL-adjudicable): same
+    inverted-index shape as ``contamination_pairs`` but the aggregate
+    carries both set sizes so the true Jaccard is computed per pair.
+    Shingle semantics follow the engine standard (``add_shingles``):
+    width-``ngram`` word windows, docs shorter than ``ngram`` tokens emit
+    one whole-doc shingle, sets are distinct.
+
+    Scale shape: identical to ``contamination_pairs`` — the benchmark
+    postings AND its per-doc set sizes are broadcast (eval sets are small
+    by nature); the corpus side is scanned once, its per-doc sizes come
+    from a map-side-combinable count over its own postings, and the only
+    corpus-keyed shuffle is the (doc, bench) pair aggregation whose output
+    is bounded by actually-overlapping pairs.
+    """
+    c = _window_postings(corpus, text_col, id_col, ngram, id_col)
+    b = _window_postings(benchmark, text_col, id_col, ngram, "bench_id")
+    c_sizes = c.groupBy(id_col).agg(F.count("*").alias("_nc"))
+    b_sizes = b.groupBy("bench_id").agg(F.count("*").alias("_nb"))
+    common = (
+        c.join(F.broadcast(b), "_wh")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(c_sizes, id_col)
+        .join(F.broadcast(b_sizes), "bench_id")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("_nc") + F.col("_nb") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(id_col, "bench_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus rows with every fuzzily-contaminated document removed
+    (left-anti on the Jaccard-threshold pair set)."""
+    pairs = (
+        fuzzy_contamination_pairs(
+            corpus, benchmark, ngram, threshold, text_col, id_col
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(pairs, id_col, "left_anti")
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

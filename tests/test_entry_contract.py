@@ -144,9 +144,11 @@ def test_media_doc_cap_in_sync_with_oracles():
     not the other would silently compare different doc populations."""
     import re
 
+    media = ("media_", "image_", "audio_", "video_", "wav_", "ppm_")
     caps = [
         int(m)
-        for sql in entry_mod.oracle_sql().values()
+        for name, sql in entry_mod.oracle_sql().items()
+        if name.startswith(media)
         for m in re.findall(r"doc_id < (\d+)", sql)
         if int(m) > 100  # below 100 = planted-structure slices, not the cap
     ]

@@ -471,6 +471,92 @@ def run_cc_stress(
     }
 
 
+def run_bloom(
+    spark,
+    n_seen: int = 4_000_000,
+    n_batch: int = 1_000_000,
+    m: int = 1 << 27,
+    k: int = 4,
+    recrawl: float = 0.2,
+) -> dict:
+    """Bloom membership-dedup probe strategies A/B (extras/bloom_dedupe.py):
+    the SQL-adjudicable relational bit-table join vs the packed-bitmap
+    broadcast probe (m/8 bytes, mapInPandas, zero shuffle). Both probe the
+    same batch (``recrawl`` fraction verbatim re-occurrences of history)
+    against the same m/k/seed filter and must flag identical hit counts.
+    The bitmap arm splits build (one OR-reduce over history, amortized
+    across every future batch) from probe (the recurring per-batch cost —
+    the number that must stay flat as history grows)."""
+    from pyspark.sql import functions as F
+
+    from daft_minhash_dedupe_spark.extras.bloom_dedupe import (
+        bloom_bitmap_build,
+        flag_bloom_duplicates,
+        flag_bloom_duplicates_bitmap,
+    )
+    from daft_minhash_dedupe_spark.pipeline import prepare_web_pages
+    from daft_minhash_dedupe_spark.sources.synthetic_spark import bench_corpus
+
+    seen = (
+        prepare_web_pages(bench_corpus(spark, n_seen, seed=7))
+        .select(F.xxhash64("block_id").alias("doc_id"), F.col("block_text").alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    fresh = (
+        prepare_web_pages(bench_corpus(spark, n_batch, seed=101))
+        .select(F.xxhash64("block_id", F.lit(9)).alias("doc_id"), F.col("block_text").alias("text"))
+    )
+    # recrawl fraction: verbatim texts sampled deterministically from history
+    re_n = int(n_batch * recrawl)
+    recrawls = seen.orderBy(F.xxhash64("doc_id")).limit(re_n).select(
+        (F.col("doc_id") + 1).alias("doc_id"), "text"
+    )
+    batch = (
+        fresh.where(F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(100)) >= int(recrawl * 100))
+        .unionByName(recrawls)
+        .localCheckpoint(eager=True)
+    )
+    batch_rows = batch.count()
+
+    t0 = time.time()
+    rel_hits = (
+        flag_bloom_duplicates(seen, batch, m=m, k=k)
+        .agg(F.sum(F.col("bloom_hit").cast("long")))
+        .first()[0]
+    )
+    t_rel = time.time() - t0
+
+    t0 = time.time()
+    bitmap = bloom_bitmap_build(seen, m=m, k=k)
+    t_build = time.time() - t0
+    t0 = time.time()
+    bit_hits = (
+        flag_bloom_duplicates_bitmap(bitmap, batch, m=m, k=k)
+        .agg(F.sum(F.col("bloom_hit").cast("long")))
+        .first()[0]
+    )
+    t_probe = time.time() - t0
+
+    return {
+        "metric": "bloom_probe_seconds",
+        "value": round(t_probe, 2),
+        "unit": "sec",
+        "n_seen": n_seen,
+        "batch_rows": batch_rows,
+        "m_bits": m,
+        "k": k,
+        "bitmap_bytes": len(bitmap),
+        "relational_probe_sec": round(t_rel, 2),
+        "bitmap_build_sec": round(t_build, 2),
+        "bitmap_probe_sec": round(t_probe, 2),
+        "relational_hits": rel_hits,
+        "bitmap_hits": bit_hits,
+        "hits_identical": rel_hits == bit_hits,
+        "bitmap_probe_docs_per_sec": round(batch_rows / t_probe, 1),
+        "relational_probe_docs_per_sec": round(batch_rows / t_rel, 1),
+    }
+
+
 def run_recall(spark, n_docs: int = 5000, seed: int = 11, kernel: str = "arrow") -> dict:
     """Dup-pair recall vs planted ground truth + near-miss precision +
     cluster parity vs the pure-Python oracle (BASELINE.md criteria).
@@ -549,6 +635,13 @@ def main() -> None:
         help="connected-components on a star-chained single ~1M-node "
         "component (--docs = node count): correctness + round counts "
         "vs max_loops + wall",
+    )
+    ap.add_argument(
+        "--bloom",
+        action="store_true",
+        help="Bloom membership dedup probe A/B: relational bit-table join "
+        "vs broadcast packed-bitmap mapInPandas probe (--docs = history "
+        "size; batch = docs/4 with 20%% verbatim recrawls)",
     )
     ap.add_argument(
         "--stream-neardup",
@@ -703,6 +796,15 @@ def main() -> None:
         spark = _fresh_spark(CPUS)
         n = args.docs if docs_explicit else 1_000_000
         print(json.dumps(run_cc_stress(spark, n_nodes=n)))
+        spark.stop()
+        return
+
+    if args.bloom:
+        spark = _fresh_spark(CPUS)
+        n = args.docs if docs_explicit else 4_000_000
+        out = run_bloom(spark, n_seen=n, n_batch=max(n // 4, 1000))
+        out["probe_end"] = host_probe()
+        print(json.dumps(out))
         spark.stop()
         return
 

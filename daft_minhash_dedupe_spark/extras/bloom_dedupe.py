@@ -146,3 +146,124 @@ def bloom_dedupe(
 def expected_fpr(n_items: int, m: int, k: int = 4) -> float:
     """Theoretical false-positive rate after inserting ``n_items``."""
     return (1.0 - math.exp(-k * n_items / m)) ** k
+
+
+# -- packed-bitmap path ------------------------------------------------------
+#
+# The relational bit table above is SQL-adjudicable, but its probe is a join
+# whose build side grows with min(m, n_history·k) — at 10^12 docs the honest
+# scale shape is the filter AS AN ACTUAL BITMAP: m/8 bytes (2^30 bits =
+# 128 MiB), built once by a log-depth OR-reduce, broadcast to every
+# executor, and probed map-side with ZERO shuffle and zero join. Positions
+# use the same md5 scheme as ``bloom_positions``, so the bitmap path's
+# flags are bit-identical to the relational path's (pinned by test).
+
+
+def _md5_positions_py(text: str, m: int, k: int, seed: int) -> list:
+    """Pure-Python twin of ``bloom_positions`` (same md5('seed:i:text')
+    first-15-hex-chars scheme) for map-side probing. Null text hashes as
+    'seed:i' — concat_ws skips SQL NULLs, so the twin must too."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(
+                (
+                    f"{seed}:{i}:{text}" if text is not None else f"{seed}:{i}"
+                ).encode("utf-8")
+            ).hexdigest()[:15],
+            16,
+        )
+        % m
+        for i in range(k)
+    ]
+
+
+def bloom_bitmap_build(
+    seen: DataFrame,
+    text_col: str = "text",
+    m: int = 1 << 20,
+    k: int = 4,
+    seed: int = 0,
+) -> bytes:
+    """The Bloom filter as m/8 packed little-endian-bit bytes.
+
+    Build shape: the distinct set-bit positions (≤ min(m, n·k) rows) are
+    folded into ONE m/8-byte array per partition map-side, then OR-reduced
+    tree-fashion — the driver ever holds only O(m/8) bytes, never the bit
+    list, and the reduce is log-depth in partition count (the same shape
+    ``DataFrameStatFunctions.bloomFilter`` uses internally, kept here in
+    user space so the artifact is portable and incrementally unionable
+    via ``bloom_bitmap_union``)."""
+    import numpy as np
+
+    if m % 8:
+        raise ValueError(f"m must be a multiple of 8, got {m}")
+    nbytes = m // 8
+    bits = bloom_build(seen, text_col, m, k, seed)
+
+    def part_bitmap(rows):
+        arr = np.zeros(nbytes, dtype=np.uint8)
+        got = False
+        for row in rows:
+            b = row[0]
+            arr[b >> 3] |= np.uint8(1 << (b & 7))
+            got = True
+        if got:
+            yield arr.tobytes()
+
+    parts = bits.rdd.mapPartitions(part_bitmap)
+    zero = seen.sparkSession.sparkContext.parallelize([b"\x00" * nbytes], 1)
+    return zero.union(parts).treeReduce(bloom_bitmap_union)
+
+
+def bloom_bitmap_union(a: bytes, b: bytes) -> bytes:
+    """OR of two same-m bitmaps == the bitmap of the union of their inputs
+    (incremental update = build the new batch's bitmap, OR it in)."""
+    import numpy as np
+
+    if len(a) != len(b):
+        raise ValueError(f"bitmap length mismatch: {len(a)} vs {len(b)}")
+    return (
+        np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+    ).tobytes()
+
+
+def flag_bloom_duplicates_bitmap(
+    bitmap: bytes,
+    batch: DataFrame,
+    text_col: str = "text",
+    m: int = 1 << 20,
+    k: int = 4,
+    seed: int = 0,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """``batch`` + boolean ``out_col`` probed against a packed bitmap from
+    ``bloom_bitmap_build`` — broadcast + mapInPandas, no shuffle, no join;
+    per-batch probe cost is O(batch·k) regardless of history size. Flags
+    are bit-identical to ``flag_bloom_duplicates`` at the same (m, k, seed)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if len(bitmap) * 8 != m:
+        raise ValueError(f"bitmap carries {len(bitmap) * 8} bits, expected m={m}")
+    bc = batch.sparkSession.sparkContext.broadcast(bitmap)
+    schema = T.StructType(
+        batch.schema.fields + [T.StructField(out_col, T.BooleanType(), False)]
+    )
+
+    def probe(batches):
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            flags = []
+            for t in pdf[text_col]:
+                hit = True
+                for p in _md5_positions_py(t, m, k, seed):
+                    if not (arr[p >> 3] >> (p & 7)) & 1:
+                        hit = False
+                        break
+                flags.append(hit)
+            pdf[out_col] = flags
+            yield pdf
+
+    return batch.mapInPandas(probe, schema=schema)

@@ -157,6 +157,102 @@ def test_bloom_filter_is_incrementally_unionable(spark):
     assert union_of_parts == direct
 
 
+def test_bloom_bitmap_flags_bit_identical_to_relational(spark):
+    """The packed-bitmap probe (broadcast + mapInPandas, zero shuffle) must
+    produce EXACTLY the relational path's flags — including the
+    deterministic false positives at a saturated m=512 — because both use
+    the same md5('seed:i:text') position scheme."""
+    from daft_minhash_dedupe_spark.extras.bloom_dedupe import (
+        bloom_bitmap_build,
+        flag_bloom_duplicates,
+        flag_bloom_duplicates_bitmap,
+    )
+
+    seen = _docs(spark, [f"history doc {i} body" for i in range(120)])
+    batch = _docs(
+        spark,
+        [f"novel doc {i} words" for i in range(60)]
+        + [f"history doc {i} body" for i in range(0, 120, 7)],  # recrawls
+        1000,
+    )
+    for m in (512, 1 << 16):
+        rel = sorted(
+            (r["doc_id"], r["bloom_hit"])
+            for r in flag_bloom_duplicates(seen, batch, m=m, k=3).collect()
+        )
+        bm = bloom_bitmap_build(seen, m=m, k=3)
+        bit = sorted(
+            (r["doc_id"], r["bloom_hit"])
+            for r in flag_bloom_duplicates_bitmap(bm, batch, m=m, k=3).collect()
+        )
+        assert bit == rel
+        # sanity: every recrawl flagged on both paths
+        hits = dict(bit)
+        assert all(hits[1060 + j] for j in range(len(range(0, 120, 7))))
+
+
+def test_bloom_bitmap_union_equals_bitmap_of_union(spark):
+    from daft_minhash_dedupe_spark.extras.bloom_dedupe import (
+        bloom_bitmap_build,
+        bloom_bitmap_union,
+    )
+
+    a = _docs(spark, [f"wave one {i}" for i in range(40)])
+    b = _docs(spark, [f"wave two {i}" for i in range(40)], 100)
+    direct = bloom_bitmap_build(a.unionByName(b), m=4096, k=3)
+    ored = bloom_bitmap_union(
+        bloom_bitmap_build(a, m=4096, k=3), bloom_bitmap_build(b, m=4096, k=3)
+    )
+    assert direct == ored
+
+
+def test_bloom_bitmap_null_text_matches_relational(spark):
+    """concat_ws skips NULLs on the Catalyst side; the Python twin must hash
+    the same 'seed:i' key for a null text so the paths stay bit-identical."""
+    from daft_minhash_dedupe_spark.extras.bloom_dedupe import (
+        bloom_bitmap_build,
+        flag_bloom_duplicates,
+        flag_bloom_duplicates_bitmap,
+    )
+
+    seen = spark.createDataFrame(
+        [(0, None), (1, "real text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, None), (11, "real text"), (12, "unseen")],
+        "doc_id long, text string",
+    )
+    m, k = 1 << 16, 3
+    rel = sorted(
+        (r["doc_id"], r["bloom_hit"])
+        for r in flag_bloom_duplicates(seen, batch, m=m, k=k).collect()
+    )
+    bm = bloom_bitmap_build(seen, m=m, k=k)
+    bit = sorted(
+        (r["doc_id"], r["bloom_hit"])
+        for r in flag_bloom_duplicates_bitmap(bm, batch, m=m, k=k).collect()
+    )
+    assert bit == rel
+    assert dict(bit)[10] is True and dict(bit)[11] is True
+
+
+def test_bloom_bitmap_rejects_bad_sizing(spark):
+    import pytest
+
+    from daft_minhash_dedupe_spark.extras.bloom_dedupe import (
+        bloom_bitmap_build,
+        bloom_bitmap_union,
+        flag_bloom_duplicates_bitmap,
+    )
+
+    with pytest.raises(ValueError):
+        bloom_bitmap_build(_docs(spark, ["x"]), m=100, k=3)  # not mult of 8
+    with pytest.raises(ValueError):
+        bloom_bitmap_union(b"\x00" * 8, b"\x00" * 16)
+    with pytest.raises(ValueError):
+        flag_bloom_duplicates_bitmap(b"\x00" * 8, _docs(spark, ["x"]), m=4096)
+
+
 def test_bloom_positions_rejects_bad_sizing(spark):
     import pytest
 

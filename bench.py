@@ -519,23 +519,26 @@ def run_bloom(
     batch_rows = batch.count()
 
     t0 = time.time()
-    rel_hits = (
-        flag_bloom_duplicates(seen, batch, m=m, k=k)
-        .agg(F.sum(F.col("bloom_hit").cast("long")))
-        .first()[0]
-    )
+    rel_flags = flag_bloom_duplicates(seen, batch, m=m, k=k)
+    rel_hits = rel_flags.agg(F.sum(F.col("bloom_hit").cast("long"))).first()[0]
     t_rel = time.time() - t0
 
     t0 = time.time()
     bitmap = bloom_bitmap_build(seen, m=m, k=k)
     t_build = time.time() - t0
     t0 = time.time()
-    bit_hits = (
-        flag_bloom_duplicates_bitmap(bitmap, batch, m=m, k=k)
-        .agg(F.sum(F.col("bloom_hit").cast("long")))
-        .first()[0]
-    )
+    bit_flags = flag_bloom_duplicates_bitmap(bitmap, batch, m=m, k=k)
+    bit_hits = bit_flags.agg(F.sum(F.col("bloom_hit").cast("long"))).first()[0]
     t_probe = time.time() - t0
+
+    # per-ROW parity (untimed): equal counts could hide offsetting
+    # disagreements — pin that no row's flag differs between the paths
+    flag_mismatches = (
+        rel_flags.select("doc_id", F.col("bloom_hit").alias("_rel"))
+        .join(bit_flags.select("doc_id", F.col("bloom_hit").alias("_bit")), "doc_id")
+        .where(F.col("_rel") != F.col("_bit"))
+        .count()
+    )
 
     return {
         "metric": "bloom_probe_seconds",
@@ -552,6 +555,7 @@ def run_bloom(
         "relational_hits": rel_hits,
         "bitmap_hits": bit_hits,
         "hits_identical": rel_hits == bit_hits,
+        "flag_mismatches": flag_mismatches,
         "bitmap_probe_docs_per_sec": round(batch_rows / t_probe, 1),
         "relational_probe_docs_per_sec": round(batch_rows / t_rel, 1),
     }
@@ -642,6 +646,13 @@ def main() -> None:
         help="Bloom membership dedup probe A/B: relational bit-table join "
         "vs broadcast packed-bitmap mapInPandas probe (--docs = history "
         "size; batch = docs/4 with 20%% verbatim recrawls)",
+    )
+    ap.add_argument(
+        "--bloom-batch",
+        type=int,
+        default=None,
+        help="--bloom: pin the probe batch size (default docs/4) — fix it "
+        "across --docs values to measure probe-cost flatness in history size",
     )
     ap.add_argument(
         "--stream-neardup",
@@ -802,7 +813,9 @@ def main() -> None:
     if args.bloom:
         spark = _fresh_spark(CPUS)
         n = args.docs if docs_explicit else 4_000_000
-        out = run_bloom(spark, n_seen=n, n_batch=max(n // 4, 1000))
+        out = run_bloom(
+            spark, n_seen=n, n_batch=args.bloom_batch or max(n // 4, 1000)
+        )
         out["probe_end"] = host_probe()
         print(json.dumps(out))
         spark.stop()

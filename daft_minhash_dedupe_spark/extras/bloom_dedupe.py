@@ -108,22 +108,29 @@ def flag_bloom_duplicates(
     on a k-way position collision (the deterministic false-positive set,
     rate ≈ ``expected_fpr``). Distinct probe positions are compared against
     distinct matches so a self-colliding probe array can't inflate the count.
+    The probe groups by (id, text-digest) — not id alone — so batch rows
+    that share an id but carry different texts each get their OWN text's
+    flag, matching the per-row bitmap path exactly.
     """
     bits = bloom_build(seen, text_col, m, k, seed).withColumn("_set", F.lit(1))
     if broadcast_bits:
         bits = F.broadcast(bits)
+    th = F.xxhash64(F.col(text_col))
     probes = batch.select(
         F.col(id_col),
+        th.alias("_th"),
         F.explode(F.array_distinct(bloom_positions(F.col(text_col), m, k, seed))).alias(
             "bit"
         ),
     )
     flags = (
         probes.join(bits, "bit", "left")
-        .groupBy(id_col)
+        .groupBy(id_col, "_th")
         .agg((F.count("*") == F.count("_set")).alias(out_col))
     )
-    return batch.join(flags, id_col, "left")
+    return (
+        batch.withColumn("_th", th).join(flags, [id_col, "_th"], "left").drop("_th")
+    )
 
 
 def bloom_dedupe(
@@ -188,32 +195,37 @@ def bloom_bitmap_build(
 ) -> bytes:
     """The Bloom filter as m/8 packed little-endian-bit bytes.
 
-    Build shape: the distinct set-bit positions (≤ min(m, n·k) rows) are
-    folded into ONE m/8-byte array per partition map-side, then OR-reduced
-    tree-fashion — the driver ever holds only O(m/8) bytes, never the bit
-    list, and the reduce is log-depth in partition count (the same shape
-    ``DataFrameStatFunctions.bloomFilter`` uses internally, kept here in
-    user space so the artifact is portable and incrementally unionable
-    via ``bloom_bitmap_union``)."""
+    Build shape: each partition folds its rows' positions into ONE
+    m/8-byte array map-side (bitmap OR is idempotent, so duplicate
+    positions need no distinct — the build is ZERO-shuffle), then the
+    per-partition bitmaps OR-reduce tree-fashion — the driver ever holds
+    only O(m/8) bytes, never a bit list, and the reduce is log-depth in
+    partition count (the same shape ``DataFrameStatFunctions.bloomFilter``
+    uses internally, kept here in user space so the artifact is portable
+    and incrementally unionable via ``bloom_bitmap_union``)."""
     import numpy as np
 
     if m % 8:
         raise ValueError(f"m must be a multiple of 8, got {m}")
     nbytes = m // 8
-    bits = bloom_build(seen, text_col, m, k, seed)
+    pos = seen.select(bloom_positions(F.col(text_col), m, k, seed).alias("_bp"))
 
     def part_bitmap(rows):
         arr = np.zeros(nbytes, dtype=np.uint8)
         got = False
         for row in rows:
-            b = row[0]
-            arr[b >> 3] |= np.uint8(1 << (b & 7))
+            for b in row[0]:
+                arr[b >> 3] |= np.uint8(1 << (b & 7))
             got = True
         if got:
             yield arr.tobytes()
 
-    parts = bits.rdd.mapPartitions(part_bitmap)
-    zero = seen.sparkSession.sparkContext.parallelize([b"\x00" * nbytes], 1)
+    parts = pos.rdd.mapPartitions(part_bitmap)
+    # lazy all-zero seed partition (empty-history guard): built INSIDE its
+    # task so the closure ships an int, not an m/8-byte buffer
+    zero = seen.sparkSession.sparkContext.parallelize([nbytes], 1).map(
+        lambda n: b"\x00" * n
+    )
     return zero.union(parts).treeReduce(bloom_bitmap_union)
 
 
@@ -241,29 +253,47 @@ def flag_bloom_duplicates_bitmap(
     """``batch`` + boolean ``out_col`` probed against a packed bitmap from
     ``bloom_bitmap_build`` — broadcast + mapInPandas, no shuffle, no join;
     per-batch probe cost is O(batch·k) regardless of history size. Flags
-    are bit-identical to ``flag_bloom_duplicates`` at the same (m, k, seed)."""
+    are bit-identical to ``flag_bloom_duplicates`` at the same (m, k, seed).
+
+    ``bitmap`` may be raw bytes OR an existing ``pyspark.Broadcast`` of the
+    bytes. Passing bytes broadcasts them for THIS call and leaves the
+    broadcast alive as long as the returned DataFrame may be recomputed —
+    a long-lived app probing many batches against one filter should
+    broadcast once (``sc.broadcast(bitmap)``) and pass the Broadcast, so
+    filter memory on the executors stays one copy instead of one per call.
+
+    Division of labor: the k md5 positions are computed JVM-side with the
+    SAME Catalyst expression the relational path and the build use
+    (``bloom_positions`` — native md5, codegen), so the Python side is a
+    pure vectorized numpy bitmap gather over the Arrow batch — no per-row
+    Python hashing anywhere in the probe."""
     import numpy as np
     from pyspark.sql import types as T
 
-    if len(bitmap) * 8 != m:
-        raise ValueError(f"bitmap carries {len(bitmap) * 8} bits, expected m={m}")
-    bc = batch.sparkSession.sparkContext.broadcast(bitmap)
+    is_bc = hasattr(bitmap, "value")  # pyspark.Broadcast
+    raw = bitmap.value if is_bc else bitmap
+    if len(raw) * 8 != m:
+        raise ValueError(f"bitmap carries {len(raw) * 8} bits, expected m={m}")
+    bc = bitmap if is_bc else batch.sparkSession.sparkContext.broadcast(raw)
     schema = T.StructType(
         batch.schema.fields + [T.StructField(out_col, T.BooleanType(), False)]
+    )
+    cols = batch.columns
+    with_pos = batch.withColumn(
+        "_bp", bloom_positions(F.col(text_col), m, k, seed)
     )
 
     def probe(batches):
         arr = np.frombuffer(bc.value, dtype=np.uint8)
         for pdf in batches:
-            flags = []
-            for t in pdf[text_col]:
-                hit = True
-                for p in _md5_positions_py(t, m, k, seed):
-                    if not (arr[p >> 3] >> (p & 7)) & 1:
-                        hit = False
-                        break
-                flags.append(hit)
-            pdf[out_col] = flags
-            yield pdf
+            out = pdf[cols].copy()
+            if len(pdf) == 0:
+                out[out_col] = np.array([], dtype=bool)
+            else:
+                pos = np.vstack(pdf["_bp"].to_numpy())  # (rows, k) int64
+                out[out_col] = (
+                    ((arr[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
+                )
+            yield out
 
-    return batch.mapInPandas(probe, schema=schema)
+    return with_pos.mapInPandas(probe, schema=schema)

@@ -191,6 +191,86 @@ def test_bloom_bitmap_flags_bit_identical_to_relational(spark):
         assert all(hits[1060 + j] for j in range(len(range(0, 120, 7))))
 
 
+def test_bloom_paths_agree_on_duplicate_doc_ids(spark):
+    """Batch rows sharing a doc_id but carrying DIFFERENT texts must each
+    get their own text's flag on BOTH paths (the relational probe groups by
+    (id, text-digest), not id alone — an id-only group would let an unseen
+    text's unset bits veto a seen sibling row)."""
+    from daft_minhash_dedupe_spark.extras.bloom_dedupe import (
+        bloom_bitmap_build,
+        flag_bloom_duplicates,
+        flag_bloom_duplicates_bitmap,
+    )
+
+    seen = _docs(spark, ["the seen text body"])
+    batch = spark.createDataFrame(
+        [(7, "the seen text body"), (7, "a never inserted text"), (8, "also new")],
+        "doc_id long, text string",
+    )
+    m, k = 1 << 16, 3
+    rel = sorted(
+        (r["doc_id"], r["text"], r["bloom_hit"])
+        for r in flag_bloom_duplicates(seen, batch, m=m, k=k).collect()
+    )
+    bm = bloom_bitmap_build(seen, m=m, k=k)
+    bit = sorted(
+        (r["doc_id"], r["text"], r["bloom_hit"])
+        for r in flag_bloom_duplicates_bitmap(bm, batch, m=m, k=k).collect()
+    )
+    assert rel == bit
+    assert rel == [
+        (7, "a never inserted text", False),
+        (7, "the seen text body", True),
+        (8, "also new", False),
+    ]
+
+
+def test_bloom_bitmap_accepts_prebuilt_broadcast(spark):
+    from daft_minhash_dedupe_spark.extras.bloom_dedupe import (
+        bloom_bitmap_build,
+        flag_bloom_duplicates_bitmap,
+    )
+
+    seen = _docs(spark, ["alpha", "beta"])
+    batch = _docs(spark, ["alpha", "gamma"], 10)
+    m = 1 << 16
+    bm = bloom_bitmap_build(seen, m=m, k=3)
+    bc = spark.sparkContext.broadcast(bm)
+    via_bytes = sorted(
+        (r["doc_id"], r["bloom_hit"])
+        for r in flag_bloom_duplicates_bitmap(bm, batch, m=m, k=3).collect()
+    )
+    via_bc = sorted(
+        (r["doc_id"], r["bloom_hit"])
+        for r in flag_bloom_duplicates_bitmap(bc, batch, m=m, k=3).collect()
+    )
+    assert via_bytes == via_bc == [(10, True), (11, False)]
+
+
+def test_bloom_python_position_twin_matches_catalyst(spark):
+    """_md5_positions_py is the documented pure-Python reference for the
+    Catalyst position scheme — pin them equal, including the NULL-text
+    concat_ws edge."""
+    from daft_minhash_dedupe_spark.extras.bloom_dedupe import (
+        _md5_positions_py,
+        bloom_positions,
+    )
+
+    df = spark.createDataFrame(
+        [("hello world",), ("",), (None,), ("päge ünïcode",)], "text string"
+    )
+    m, k, seed = 1 << 20, 4, 3
+    got = [
+        list(r["p"])
+        for r in df.select(bloom_positions(F.col("text"), m, k, seed).alias("p")).collect()
+    ]
+    want = [
+        _md5_positions_py(t, m, k, seed)
+        for t in ["hello world", "", None, "päge ünïcode"]
+    ]
+    assert got == want
+
+
 def test_bloom_bitmap_union_equals_bitmap_of_union(spark):
     from daft_minhash_dedupe_spark.extras.bloom_dedupe import (
         bloom_bitmap_build,

@@ -26,12 +26,14 @@ Scale shape (10^12 docs): ``bloom_build`` is one map + distinct over ≤ m
 integer keys (the bit table is at most m rows ≈ n·k before saturation, and
 its SIZE IS the filter's memory bound). Probing is explode → join on an
 int key: broadcast when m is small (a 2^27-bit filter is ~1 GiB as longs,
-~16 MiB as a real bitmap), shuffle-on-int otherwise — and the bit table
-partitions by ``bit % P`` so repeated batches join co-partitioned. The
-driver-side alternative (``DataFrameStatFunctions.bloomFilter``) collects
-the filter to the driver; this formulation keeps it distributed and
-incrementally unionable (new batch's bits ∪ old bits = updated filter,
-an append, not a rebuild).
+~16 MiB as a real bitmap), shuffle-on-int otherwise (persist the bit
+table hash-partitioned on ``bit`` and repeated batches join
+co-partitioned). The driver-side alternative
+(``DataFrameStatFunctions.bloomFilter``) collects the filter to the
+driver; this formulation keeps it distributed and incrementally
+unionable (new batch's bits ∪ old bits = updated filter, an append, not
+a rebuild). For the TRUE fixed-memory artifact see the packed-bitmap
+path below (``bloom_bitmap_build`` / ``flag_bloom_duplicates_bitmap``).
 
 Sizing: FPR ≈ (1 - e^(-k·n/m))^k; the classic optimum k = (m/n)·ln2.
 ``expected_fpr`` computes it so tests can assert the measured rate.

@@ -333,6 +333,53 @@ def test_bloom_bitmap_rejects_bad_sizing(spark):
         flag_bloom_duplicates_bitmap(b"\x00" * 8, _docs(spark, ["x"]), m=4096)
 
 
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_bloom_texts = st.lists(
+    st.text(min_size=0, max_size=25), min_size=1, max_size=12, unique=True
+)
+
+
+@given(seen_texts=_bloom_texts, batch_texts=_bloom_texts)
+@settings(max_examples=6, deadline=None)
+def test_bloom_paths_match_python_oracle_on_random_texts(
+    spark, seen_texts, batch_texts
+):
+    """Three-way pin over arbitrary unicode: relational flags == bitmap
+    flags == a dependency-free pure-Python Bloom oracle, at a deliberately
+    tiny m=256 where false positives are common (so the FP sets must agree
+    too, not just the planted hits)."""
+    from daft_minhash_dedupe_spark.extras.bloom_dedupe import (
+        _md5_positions_py,
+        bloom_bitmap_build,
+        flag_bloom_duplicates,
+        flag_bloom_duplicates_bitmap,
+    )
+
+    m, k, seed = 256, 3, 0
+    seen = _docs(spark, seen_texts)
+    batch = _docs(spark, batch_texts, 1000)
+    bits = set()
+    for t in seen_texts:
+        bits.update(_md5_positions_py(t, m, k, seed))
+    want = {
+        1000 + i: all(p in bits for p in _md5_positions_py(t, m, k, seed))
+        for i, t in enumerate(batch_texts)
+    }
+    rel = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in flag_bloom_duplicates(seen, batch, m=m, k=k, seed=seed).collect()
+    }
+    bm = bloom_bitmap_build(seen, m=m, k=k, seed=seed)
+    bit = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in flag_bloom_duplicates_bitmap(bm, batch, m=m, k=k, seed=seed).collect()
+    }
+    assert rel == want
+    assert bit == want
+
+
 def test_bloom_positions_rejects_bad_sizing(spark):
     import pytest
 

@@ -531,14 +531,27 @@ def run_bloom(
     bit_hits = bit_flags.agg(F.sum(F.col("bloom_hit").cast("long"))).first()[0]
     t_probe = time.time() - t0
 
-    # per-ROW parity (untimed): equal counts could hide offsetting
-    # disagreements — pin that no row's flag differs between the paths
-    flag_mismatches = (
-        rel_flags.select("doc_id", F.col("bloom_hit").alias("_rel"))
-        .join(bit_flags.select("doc_id", F.col("bloom_hit").alias("_bit")), "doc_id")
-        .where(F.col("_rel") != F.col("_bit"))
-        .count()
+    probe_after_timing = host_probe()  # before the untimed parity recompute
+
+    # per-ROW parity (untimed; re-executes both probe pipelines once):
+    # equal counts could hide offsetting disagreements — pin that no row's
+    # flag differs between the paths. Join on (doc_id, text) so batch rows
+    # sharing an id but differing in text can't cross-pair, and check the
+    # joined row count so a path silently losing rows can't fake parity.
+    parity = (
+        rel_flags.select("doc_id", "text", F.col("bloom_hit").alias("_rel"))
+        .join(
+            bit_flags.select("doc_id", "text", F.col("bloom_hit").alias("_bit")),
+            ["doc_id", "text"],
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("_rel") != F.col("_bit")).cast("long")).alias("mm"),
+        )
+        .first()
     )
+    flag_mismatches = parity["mm"] or 0
+    parity_rows = parity["n"]
 
     return {
         "metric": "bloom_probe_seconds",
@@ -556,6 +569,9 @@ def run_bloom(
         "bitmap_hits": bit_hits,
         "hits_identical": rel_hits == bit_hits,
         "flag_mismatches": flag_mismatches,
+        "parity_rows_joined": parity_rows,
+        "parity_covers_batch": parity_rows == batch_rows,
+        "probe_end": probe_after_timing,
         "bitmap_probe_docs_per_sec": round(batch_rows / t_probe, 1),
         "relational_probe_docs_per_sec": round(batch_rows / t_rel, 1),
     }
@@ -811,12 +827,12 @@ def main() -> None:
         return
 
     if args.bloom:
+        if args.bloom_batch is not None and args.bloom_batch <= 0:
+            raise SystemExit(f"--bloom-batch must be positive, got {args.bloom_batch}")
         spark = _fresh_spark(CPUS)
         n = args.docs if docs_explicit else 4_000_000
-        out = run_bloom(
-            spark, n_seen=n, n_batch=args.bloom_batch or max(n // 4, 1000)
-        )
-        out["probe_end"] = host_probe()
+        n_batch = args.bloom_batch if args.bloom_batch is not None else max(n // 4, 1000)
+        out = run_bloom(spark, n_seen=n, n_batch=n_batch)
         print(json.dumps(out))
         spark.stop()
         return

@@ -114,6 +114,8 @@ def flag_bloom_duplicates(
     that share an id but carry different texts each get their OWN text's
     flag, matching the per-row bitmap path exactly.
     """
+    if "_th" in batch.columns:
+        raise ValueError("batch must not carry a '_th' column (internal name)")
     bits = bloom_build(seen, text_col, m, k, seed).withColumn("_set", F.lit(1))
     if broadcast_bits:
         bits = F.broadcast(bits)
@@ -170,8 +172,11 @@ def expected_fpr(n_items: int, m: int, k: int = 4) -> float:
 
 def _md5_positions_py(text: str, m: int, k: int, seed: int) -> list:
     """Pure-Python twin of ``bloom_positions`` (same md5('seed:i:text')
-    first-15-hex-chars scheme) for map-side probing. Null text hashes as
-    'seed:i' — concat_ws skips SQL NULLs, so the twin must too."""
+    first-15-hex-chars scheme) — a TEST-ONLY reference implementation (the
+    production probe computes positions JVM-side); pinned equal to the
+    Catalyst expression by test_bloom_python_position_twin_matches_catalyst.
+    Null text hashes as 'seed:i' — concat_ws skips SQL NULLs, so the twin
+    must too."""
     import hashlib
 
     return [
@@ -270,9 +275,12 @@ def flag_bloom_duplicates_bitmap(
     pure vectorized numpy bitmap gather over the Arrow batch — no per-row
     Python hashing anywhere in the probe."""
     import numpy as np
+    from pyspark import Broadcast
     from pyspark.sql import types as T
 
-    is_bc = hasattr(bitmap, "value")  # pyspark.Broadcast
+    if "_bp" in batch.columns:
+        raise ValueError("batch must not carry a '_bp' column (internal name)")
+    is_bc = isinstance(bitmap, Broadcast)
     raw = bitmap.value if is_bc else bitmap
     if len(raw) * 8 != m:
         raise ValueError(f"bitmap carries {len(raw) * 8} bits, expected m={m}")

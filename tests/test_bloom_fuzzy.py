@@ -316,6 +316,29 @@ def test_bloom_bitmap_null_text_matches_relational(spark):
     assert dict(bit)[10] is True and dict(bit)[11] is True
 
 
+def test_bloom_rejects_internal_column_collisions(spark):
+    """The probes add temp columns _th / _bp; a batch already carrying one
+    must fail loudly instead of having user data silently clobbered."""
+    import pytest
+
+    from daft_minhash_dedupe_spark.extras.bloom_dedupe import (
+        bloom_bitmap_build,
+        flag_bloom_duplicates,
+        flag_bloom_duplicates_bitmap,
+    )
+
+    seen = _docs(spark, ["x"])
+    with pytest.raises(ValueError, match="_th"):
+        flag_bloom_duplicates(
+            seen, _docs(spark, ["y"]).withColumn("_th", F.lit(1)), m=4096
+        )
+    bm = bloom_bitmap_build(seen, m=4096, k=3)
+    with pytest.raises(ValueError, match="_bp"):
+        flag_bloom_duplicates_bitmap(
+            bm, _docs(spark, ["y"]).withColumn("_bp", F.lit(1)), m=4096, k=3
+        )
+
+
 def test_bloom_bitmap_rejects_bad_sizing(spark):
     import pytest
 

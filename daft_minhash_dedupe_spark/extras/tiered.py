@@ -74,6 +74,7 @@ def tiered_dedupe(
     """
     metrics: list[dict] = []
     _counts: dict[int, int] = {}
+    _counted: list[DataFrame] = []
 
     def _mat(d: DataFrame) -> DataFrame:
         # materialize each tier boundary once (lineage severed) — otherwise
@@ -82,9 +83,15 @@ def tiered_dedupe(
         return d.localCheckpoint(eager=True)
 
     def _n(d: DataFrame) -> int:
+        # memo keyed by object identity; _counted pins every counted frame
+        # for the cascade's lifetime — without the pin, a freed frame's
+        # CPython id can be RECYCLED by a later frame, silently returning
+        # the dead frame's count (observed as a rare full-suite flake in
+        # the per-tier metrics)
         k = id(d)
         if k not in _counts:
             _counts[k] = d.count()
+            _counted.append(d)
         return _counts[k]
 
     def _record(tier: str, before: DataFrame, after: DataFrame) -> None:

@@ -68,6 +68,14 @@ def curate_corpus(
             (F.col("quality") >= min_quality) & F.col("lang").isin(*languages)
         )
     )
+    # Lazily materialize the gate survivors once: the exact-dedup stage reads
+    # this frame twice (digest aggregation + keep semi-join probe) and the
+    # decontamination stage twice more (window postings + anti-join probe) —
+    # without the boundary each read re-runs the tokenize-heavy quality and
+    # language expressions over the full scan (guide §5: cut lineage when an
+    # intermediate is re-read and recomputing dwarfs the memory cost; the
+    # survivors are the gated minority by construction).
+    out = out.localCheckpoint(eager=False)
     if lm is not None and max_ppl is not None:
         scores = perplexity_scores(out, id_col=id_col, text_col=text_col, lm=lm)
         out = out.join(scores.select(id_col, "ppl"), id_col).where(

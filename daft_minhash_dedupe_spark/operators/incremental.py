@@ -44,6 +44,7 @@ def incremental_assignments(
     algorithm: str = "hash_to_min",
     num_salts: int = 16,
     edges_checkpoint_dir: str | None = None,
+    driver_fallback_edges: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (new_assign, old_updates).
 
@@ -111,7 +112,9 @@ def incremental_assignments(
     path = f"{edges_checkpoint_dir}/incremental_edges"
     nn_edges.unionByName(no_edges).write.mode("overwrite").parquet(path)
     edges = new_bands.sparkSession.read.parquet(path)
-    assigns = connected_components(edges, algorithm=algorithm)
+    assigns = connected_components(
+        edges, algorithm=algorithm, driver_fallback_edges=driver_fallback_edges
+    )
 
     # split the result: labels for new nodes vs merged-old-rep re-labels
     old_reps = old_assignments.select(F.col("rep").alias("u")).distinct()

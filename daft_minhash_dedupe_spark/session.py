@@ -99,9 +99,14 @@ def get_spark(
 
 
 def _warm_python_workers(spark: SparkSession) -> None:
-    """Session-bootstrap warmup: spawn the reusable Python UDF worker and pay
-    its pandas/pyarrow import cost (~2 s) HERE rather than inside the first
-    pandas-UDF query a user times. A no-op job over one row."""
+    """Session-bootstrap warmup: spawn the reusable Python UDF workers and pay
+    their pandas/pyarrow import cost (~2 s, concurrent) HERE rather than
+    inside the first pandas-UDF query a user times. One task per scheduler
+    slot so EVERY reusable worker exists warm — a single-row warmup left the
+    other cores' workers to spawn (and import pandas) inside the first wide
+    pandas-UDF stage, charging ~2-4 s to whichever query hit it first
+    (guide §4.5: heavyweight init once per task, amortized — here once per
+    session)."""
     try:
         import pandas as pd
         from pyspark.sql import functions as F
@@ -111,6 +116,7 @@ def _warm_python_workers(spark: SparkSession) -> None:
         def _noop(s: pd.Series) -> pd.Series:
             return s
 
-        spark.range(1).select(_noop(F.col("id"))).collect()
+        n = spark.sparkContext.defaultParallelism
+        spark.range(n).repartition(n).select(_noop(F.col("id"))).collect()
     except Exception:
         pass  # warmup is best-effort; never block session creation

@@ -3094,3 +3094,41 @@ def test_dsir_select_fraction_and_validation(spark):
         dsir_select(w, fraction=0.0)
     with pytest.raises(ValueError):
         dsir_select(w, k=5, temperature=0.0)
+
+
+def test_curate_corpus_split_gates_match_fused(spark):
+    """r6 optimization pin: curate_corpus evaluates the quality and language
+    gates as two separate stages (quality first, language over the quality
+    survivors) — the surviving rows and their attached (quality, lang)
+    values must be identical to the naive fused single-projection gate."""
+    from pyspark.sql import functions as F
+
+    from daft_minhash_dedupe_spark.extras.curate import curate_corpus
+    from daft_minhash_dedupe_spark.extras.exact_dedupe import exact_dedupe
+    from daft_minhash_dedupe_spark.extras.text_analysis import (
+        language_id,
+        quality_score,
+    )
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog and runs to the mill with speed for fun",
+                "!!! ??? !!!",
+                "le chat est sur la table et il est pour une sieste dans la maison que nous avons pour le reste",
+                "short",
+                "an entirely different clean document that is long enough to pass the length gate with many distinct words here",
+                "the the the the the the the the the the the the the the the the the the the the",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = curate_corpus(df, None, min_quality=0.5, languages=("en",))
+    fused = exact_dedupe(
+        df.withColumn("quality", quality_score(F.col("text")))
+        .withColumn("lang", language_id(F.col("text")))
+        .where((F.col("quality") >= 0.5) & F.col("lang").isin("en"))
+    )
+    key = lambda r: (r["doc_id"], r["quality"], r["lang"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, fused.collect()))

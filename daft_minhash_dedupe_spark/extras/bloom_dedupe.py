@@ -91,6 +91,14 @@ def bloom_build(
     )
 
 
+def _check_out_col(batch: DataFrame, out_col: str) -> None:
+    if out_col in batch.columns:
+        raise ValueError(
+            f"out_col {out_col!r} already exists in the batch frame; "
+            "pass a different out_col"
+        )
+
+
 def flag_bloom_duplicates(
     seen: DataFrame,
     batch: DataFrame,
@@ -116,6 +124,7 @@ def flag_bloom_duplicates(
     """
     if "_th" in batch.columns:
         raise ValueError("batch must not carry a '_th' column (internal name)")
+    _check_out_col(batch, out_col)
     bits = bloom_build(seen, text_col, m, k, seed).withColumn("_set", F.lit(1))
     if broadcast_bits:
         bits = F.broadcast(bits)
@@ -280,6 +289,7 @@ def flag_bloom_duplicates_bitmap(
 
     if "_bp" in batch.columns:
         raise ValueError("batch must not carry a '_bp' column (internal name)")
+    _check_out_col(batch, out_col)
     is_bc = isinstance(bitmap, Broadcast)
     raw = bitmap.value if is_bc else bitmap
     if len(raw) * 8 != m:

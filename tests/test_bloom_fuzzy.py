@@ -412,3 +412,25 @@ def test_bloom_positions_rejects_bad_sizing(spark):
         bloom_positions(F.lit("x"), m=0, k=3)
     with pytest.raises(ValueError):
         bloom_positions(F.lit("x"), m=64, k=0)
+
+
+def test_bloom_out_col_collision_rejected(spark):
+    """ADVICE r5: a batch already carrying the out_col name must be rejected
+    (both probe paths), not silently produce duplicate/ambiguous columns."""
+    import pytest
+
+    from daft_minhash_dedupe_spark.extras.bloom_dedupe import (
+        bloom_bitmap_build,
+        flag_bloom_duplicates,
+        flag_bloom_duplicates_bitmap,
+    )
+
+    seen = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(2, "b", True)], "doc_id long, text string, bloom_hit boolean"
+    )
+    with pytest.raises(ValueError, match="out_col"):
+        flag_bloom_duplicates(seen, batch, m=64, k=2)
+    bitmap = bloom_bitmap_build(seen, m=64, k=2)
+    with pytest.raises(ValueError, match="out_col"):
+        flag_bloom_duplicates_bitmap(bitmap, batch, m=64, k=2)

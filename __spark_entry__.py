@@ -567,15 +567,22 @@ def _q_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ppm_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ppm_features + ppm_resize packed into one driver row: the full-res
     16x16 decode sums joined with the nearest-neighbor 8x8 resize sums per
-    media_id, both byte-exact against the SQL oracle."""
-    full = _q_ppm_features(spark, sf_dir)
-    resized = _q_ppm_resize(spark, sf_dir).select(
-        "media_id",
-        F.col("width").alias("resized_width"),
-        F.col("height").alias("resized_height"),
-        F.col("pixel_sum").alias("resized_pixel_sum"),
+    media_id, both byte-exact against the SQL oracle. r6: one fused decode
+    pass (row-equal to the former two-extractor join, pinned by test) —
+    the join of two per-payload decodes re-parsed every payload twice and
+    shuffled both sides on media_id."""
+    from daft_minhash_dedupe_spark.extras.multimodal import (
+        extract_ppm_features_with_resize,
     )
-    return full.join(resized, "media_id")
+
+    docs = _docs_par(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(b"P6\n16 16\n255\n"), _ascii_padded(F.col("text"), 768)).alias(
+            "payload"
+        ),
+    )
+    return extract_ppm_features_with_resize(media, 8, 8)
 
 
 def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -449,6 +449,54 @@ def extract_resized_ppm_features(
     return df.mapInPandas(_extract, schema=RESIZED_SCHEMA)
 
 
+PPM_FULL_RESIZED_SCHEMA = (
+    "media_id long, width long, height long, pixel_sum long, "
+    "resized_width long, resized_height long, resized_pixel_sum long"
+)
+
+
+def extract_ppm_features_with_resize(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    payload_col: str = "payload",
+    on_error: str = "fail",
+) -> DataFrame:
+    """Full-res PPM features AND nearest-neighbor-resized features from ONE
+    decode per payload. Row-equal to
+    ``extract_ppm_features(df).join(extract_resized_ppm_features(df, h, w)
+    .withColumnRenamed(...), "media_id")`` but decodes each payload once and
+    removes the join/shuffle entirely (r6 optimization: the two separate
+    extractors each ran the full parse over the same bytes)."""
+
+    def _one(p):
+        arr = decode_ppm(p)
+        small = resize_nearest(arr, out_h, out_w)
+        return {
+            "width": arr.shape[1],
+            "height": arr.shape[0],
+            "pixel_sum": int(arr.astype(np.int64).sum()),
+            "resized_width": small.shape[1],
+            "resized_height": small.shape[0],
+            "resized_pixel_sum": int(small.astype(np.int64).sum()),
+        }
+
+    fields = (
+        "width",
+        "height",
+        "pixel_sum",
+        "resized_width",
+        "resized_height",
+        "resized_pixel_sum",
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_rows(pdf, payload_col, _one, fields, on_error)
+
+    return df.mapInPandas(_extract, schema=PPM_FULL_RESIZED_SCHEMA)
+
+
 def _fingerprint_rows(pdf, payload_col, src_col, out_col, fp_one, on_error):
     """Permissive-decode loop for the fingerprint extractors (which carry a
     ``src`` passthrough column): same fail/skip/null semantics as

@@ -3132,3 +3132,35 @@ def test_curate_corpus_split_gates_match_fused(spark):
     )
     key = lambda r: (r["doc_id"], r["quality"], r["lang"])
     assert sorted(map(key, got.collect())) == sorted(map(key, fused.collect()))
+
+
+def test_ppm_fused_resize_matches_two_pass_join(spark):
+    """r6 optimization pin: the single-decode fused extractor must be
+    row-equal to the two separate extractors joined on media_id."""
+    from pyspark.sql import functions as F
+
+    from daft_minhash_dedupe_spark.extras.multimodal import (
+        extract_ppm_features,
+        extract_ppm_features_with_resize,
+        extract_resized_ppm_features,
+    )
+
+    docs = spark.range(6).select(
+        F.col("id").alias("media_id"),
+        F.concat(
+            F.lit(b"P6\n16 16\n255\n"),
+            F.encode(F.rpad(F.concat(F.lit("px"), F.col("id").cast("string")), 768, "x"), "utf-8"),
+        ).alias("payload"),
+    )
+    fused = extract_ppm_features_with_resize(docs, 8, 8)
+    joined = extract_ppm_features(docs).join(
+        extract_resized_ppm_features(docs, 8, 8).select(
+            "media_id",
+            F.col("width").alias("resized_width"),
+            F.col("height").alias("resized_height"),
+            F.col("pixel_sum").alias("resized_pixel_sum"),
+        ),
+        "media_id",
+    )
+    assert fused.columns == joined.columns
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, joined.collect()))

@@ -1442,20 +1442,6 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planted_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ 50 planted exact copies (doc_id + 1e6) — turns the
-    'identical text ⇒ identical fingerprint' kernel invariants below into
-    non-vacuous checks (the raw sf tables have no exact duplicates)."""
-    docs = _docs_par(spark, sf_dir).select("doc_id", "text")
-    planted = docs.where(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    # lazily materialize: both kernel arms (and both union branches) read
-    # this frame — without the boundary each reference re-runs its own
-    # scan + exchange (measured 5.1 s vs 3.7 s at sf1.0)
-    return docs.unionByName(planted).localCheckpoint(eager=False)
-
-
 def _q_kernel_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable companions for BOTH rows-only text fingerprint
     kernels in one adjudicated row (packed from rounds-2/3 simhash_stats +
@@ -1466,7 +1452,23 @@ def _q_kernel_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group-structure counts it derives independently, and the null rule
     (rolling_fp is null exactly when the doc tokenizes to nothing; simhash
     is total — n_null_fingerprints 0)."""
-    sh = add_shingles(_planted_dup_docs(spark, sf_dir), "text", 5, "_sh")
+    # r6: derive the planted-dup shingle table from the memoized per-doc
+    # shingle frame instead of re-running the tokenize+hash chain — planted
+    # copies are byte-identical texts, so their digests AND shingle sets
+    # equal their base rows' (add_shingles is a pure function of the text),
+    # making this row-for-row identical to shingling the union afresh.
+    keys = _docs_par(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_key")
+    )
+    base = keys.join(_shingled_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "text_key", "_sh"
+    )
+    planted = base.where(F.col("doc_id") < 50)
+    # no checkpoint here: each arm's re-read only re-runs a cheap join
+    # against the already-cached shingle memo (a lazy checkpoint of this
+    # union measured 6.2 s cold vs 2.6 s without — the materialization of
+    # 50k shingle arrays cost more than the two joins it saved)
+    sh = base.unionByName(planted)
     arms = []
     for kernel, fp_col in (
         ("simhash", simhash64(F.col("_sh"))),
@@ -1482,10 +1484,7 @@ def _q_kernel_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # moves 16-byte keys instead of whole documents — the same hygiene
         # the engine's exact_dedupe scale path uses (extras/exact_dedupe.py)
         g = (
-            sh.select(
-                F.md5(F.col("text").cast("binary")).alias("text_key"),
-                fp_col.alias("fp"),
-            )
+            sh.select("text_key", fp_col.alias("fp"))
             .groupBy("text_key")
             .agg(
                 F.countDistinct("fp").alias("k"),
@@ -1578,7 +1577,7 @@ def _q_semantic_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the DuckDB oracle as literals."""
     from daft_minhash_dedupe_spark.extras.semdedup import semdedup
 
-    emb = _emb_par(spark, sf_dir)
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     v = F.col("embedding").cast("array<double>")
     base = emb.select("vec_id", v.alias("embedding"))
     pert = emb.where(F.col("vec_id") < 50).select(

@@ -130,11 +130,79 @@ _PIPELINE_MEMO: dict[tuple[str, str, bool], dict] = {}
 def _run_flagship(spark: SparkSession, sf_dir: str, verify: bool = False) -> dict:
     key = (spark.sparkContext.applicationId, sf_dir, verify)
     if key not in _PIPELINE_MEMO:
-        cfg = DedupeConfig(verify_pairs=True) if verify else DedupeConfig()
-        _PIPELINE_MEMO[key] = MinHashDedupePipeline(cfg).run(
-            _docs_as_blocks(spark, sf_dir)
-        )
+        if verify:
+            _PIPELINE_MEMO[key] = _verified_from_shared_stages(spark, sf_dir)
+        else:
+            _PIPELINE_MEMO[key] = MinHashDedupePipeline(DedupeConfig()).run(
+                _docs_as_blocks(spark, sf_dir)
+            )
     return _PIPELINE_MEMO[key]
+
+
+def _verified_from_shared_stages(spark: SparkSession, sf_dir: str) -> dict:
+    """The verify_pairs=True pipeline, reusing the memoized non-verify run's
+    shared prefix: prep → normalize → shingles → signatures → bands are
+    pure per-row functions of the input and config fields the two runs
+    share, so their checkpointed frames are byte-identical (pinned by
+    tests/test_pipeline_e2e.py::test_verified_entry_path_matches_full_pipeline).
+    Only the stages whose semantics DIFFER under verification execute
+    fresh: pairwise candidate edges, exact-Jaccard verification, CC, and
+    the keep-rule merge — exactly pipeline.candidate_edges + the run()
+    tail for verify_pairs=True."""
+    from daft_minhash_dedupe_spark.operators.edges import (
+        build_pair_edges_from_buckets,
+    )
+    from daft_minhash_dedupe_spark.operators.merge import (
+        cluster_assignments,
+        merge_results,
+    )
+    from daft_minhash_dedupe_spark.operators.verify import (
+        verify_pairs_exact_jaccard,
+    )
+
+    base = _run_flagship(spark, sf_dir)
+    cfg = DedupeConfig(verify_pairs=True)
+    edges = build_pair_edges_from_buckets(
+        base["bands"].select("band_key", "node"),
+        max_bucket_pairwise=cfg.pairwise_cap,
+        num_salts=cfg.num_salts,
+    )
+    edges = verify_pairs_exact_jaccard(
+        edges,
+        base["shingled"],
+        cfg.threshold,
+        node_col="node_id",
+        shingle_col="shingles",
+    ).localCheckpoint(eager=False)
+    assignments = connected_components(
+        edges,
+        algorithm=cfg.algorithm,
+        max_loops=cfg.max_loops,
+        driver_fallback_edges=cfg.cc_driver_fallback_edges,
+    )
+    prepped_cols = base["prepped"].select(cfg.index_col, cfg.content_col)
+    return {
+        "results": merge_results(
+            prepped_cols,
+            assignments,
+            base["id_map"],
+            index_col=cfg.index_col,
+            component_col=cfg.component_col,
+        ),
+        "assignments": assignments,
+        "id_map": base["id_map"],
+        "clusters": cluster_assignments(
+            prepped_cols,
+            assignments,
+            base["id_map"],
+            index_col=cfg.index_col,
+            component_col=cfg.component_col,
+        ),
+        "prepped": base["prepped"],
+        "bands": base["bands"],
+        "shingled": base["shingled"],
+        "signatures": base["signatures"],
+    }
 
 
 def _q_minhash_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -272,6 +272,8 @@ class MinHashDedupePipeline:
             # the pipeline for band-level or prep-level questions
             "prepped": prepped,
             "bands": buckets,
+            "shingled": shingled,
+            "signatures": sigs,
         }
 
     def __call__(self, df: DataFrame) -> DataFrame:

@@ -223,3 +223,26 @@ def test_e2e_oph_kernel_planted_recall(spark):
     assert found / len(dup_pairs) >= 0.99
     wrong = sum(1 for a, b in truth["near_miss_pairs"] if comp[a] == comp[b])
     assert wrong == 0
+
+
+def test_verified_entry_path_matches_full_pipeline(spark):
+    """r6 optimization pin: the entry's verified flagship (shared-prefix
+    reuse of the non-verify run's prep/normalize/shingle/signature/band
+    checkpoints + fresh pairwise-verify/CC/merge) must produce exactly the
+    survivor set and cluster assignment of a from-scratch
+    MinHashDedupePipeline(verify_pairs=True) run."""
+    import __spark_entry__ as e
+    from daft_minhash_dedupe_spark.config import DedupeConfig
+    from daft_minhash_dedupe_spark.pipeline import MinHashDedupePipeline
+
+    sf = "/root/testdata/sf0.01"
+    got = e._run_flagship(spark, sf, verify=True)
+    want = MinHashDedupePipeline(DedupeConfig(verify_pairs=True)).run(
+        e._docs_as_blocks(spark, sf)
+    )
+    g_surv = sorted(r["block_id"] for r in got["results"].collect())
+    w_surv = sorted(r["block_id"] for r in want["results"].collect())
+    assert g_surv == w_surv
+    g_cl = sorted(map(tuple, got["clusters"].select("block_id", "component").collect()))
+    w_cl = sorted(map(tuple, want["clusters"].select("block_id", "component").collect()))
+    assert g_cl == w_cl

@@ -1785,7 +1785,10 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted duplicates (scaled copies — sign LSH is scale-invariant, so the
     planted pairs share every band bucket and the oracle equality is exact,
     not vacuous; the raw table has no pairs at cosine ≥ 0.9)."""
-    emb = _emb_par(spark, sf_dir).select(
+    # plain read, NOT _emb_par: the banding UDF's matmul is cheap at this
+    # row's scale while the union/ea/eb subtrees each re-pay the repartition
+    # exchange (measured PAR 6.8-8.1 s vs PLAIN 4.6-5.6 s warm, 3 rounds)
+    emb = spark.read.parquet(_t(sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     planted = emb.where(F.col("vec_id") < 50).select(
